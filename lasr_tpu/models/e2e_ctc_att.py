@@ -1,0 +1,204 @@
+"""Joint CTC/attention end-to-end models (Flax).
+
+Behavioral ports of ``lasr/model/e2e_ctc_att/{e2e_base,e2e_transformer,
+e2e_conformer}.py`` with the reference's constructor kwargs preserved
+verbatim, so existing ``config.yaml`` ``model_config`` blocks resolve here
+unchanged (only the module path changes).
+
+The dict contract (everything-is-a-dict, SURVEY.md §1): the forward takes
+``{x, xlen, ys_in, ylen}`` and returns ``{att_out, ctc_out, hs_len}``
+(reference e2e_base.py:27-44).  Decode hooks mirror e2e_base.py:50-91:
+``encode`` (encoder_forward), ``ctc_logits`` (ctc_forward), ``decode_full``
+(decoder_forward), and the cached ``decoder_*`` helpers via the Decoder's
+fixed-shape KV-cache path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lasr_tpu.modules.conformer import ConformerEncoder
+from lasr_tpu.modules.transformer import Decoder, Encoder
+from lasr_tpu.utils.masks import target_mask
+
+
+class CTCHead(nn.Module):
+    """Dropout → Linear CTC projection (e2e_transformer.py:39-42)."""
+
+    odim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hs, deterministic: bool = True):
+        h = nn.Dropout(self.dropout)(hs, deterministic=deterministic)
+        return nn.Dense(self.odim, dtype=self.dtype)(h)
+
+
+class E2EBase(nn.Module):
+    """Shared forward/hook structure; subclasses define submodules in setup."""
+
+    def __call__(self, x, xlen, ys_in, ylen=None, deterministic: bool = True):
+        hs, hs_len = self.encoder(x, xlen, deterministic=deterministic)
+        ys_mask = target_mask(ys_in, ignore_id=-1)
+        att_out = self.decoder(ys_in, ys_mask, hs,
+                               self._mem_mask(hs, hs_len),
+                               deterministic=deterministic)
+        ctc_out = self.ctc(hs, deterministic=deterministic)
+        return {"att_out": att_out, "ctc_out": ctc_out, "hs_len": hs_len}
+
+    @staticmethod
+    def _mem_mask(hs, hs_len):
+        T = hs.shape[1]
+        return (jnp.arange(T)[None, :] < hs_len[:, None])[:, None, :]
+
+    # ---- decode hooks (reference e2e_base.py:50-91) ----
+
+    def encode(self, x, xlen, deterministic: bool = True):
+        return self.encoder(x, xlen, deterministic=deterministic)
+
+    def ctc_logits(self, hs, deterministic: bool = True):
+        return self.ctc(hs, deterministic=deterministic)
+
+    def get_ctc_prob(self, x, xlen, deterministic: bool = True):
+        hs, _ = self.encoder(x, xlen, deterministic=deterministic)
+        return self.ctc(hs, deterministic=deterministic)
+
+    def decode_full(self, ys, hs, hs_len, deterministic: bool = True):
+        """Full (non-incremental) decoder pass over hypothesis prefixes."""
+        ys_mask = target_mask(ys, ignore_id=-1)
+        return self.decoder(ys, ys_mask, hs, self._mem_mask(hs, hs_len),
+                            deterministic=deterministic)
+
+    # fixed-shape cached decode (used by beam search under jit)
+    def decoder_init_cache(self, batch: int, max_len: int):
+        return self.decoder.init_cache(batch, max_len)
+
+    def decoder_project_memory(self, hs):
+        return self.decoder.project_memory(hs)
+
+    def decoder_step(self, y_t, pos, cache, mem_k, mem_v, mem_mask):
+        return self.decoder.forward_one_step(y_t, pos, cache, mem_k, mem_v,
+                                             mem_mask)
+
+    def get_input_dict(self):
+        return {"x": "(B,T,D)", "xlen": "(B,)", "ys_in": "(B,N)", "ylen": "(B,)"}
+
+    def get_out_dict(self):
+        return {"att_out": "(B,N,O)", "ctc_out": "(B,T,O)", "hs_len": "(B,)"}
+
+
+class E2E_Transformer_CTC(E2EBase):
+    """Transformer enc-dec + CTC head (e2e_transformer.py:6-42)."""
+
+    idim: int = 13
+    odim: int = 26
+    encoder_attention_dim: int = 256
+    encoder_attention_heads: int = 4
+    encoder_linear_units: int = 2048
+    encoder_num_blocks: int = 12
+    encoder_input_layer: str = "conv2d"
+    encoder_dropout_rate: float = 0.1
+    encoder_attention_dropout_rate: float = 0.0
+    decoder_attention_dim: int = 256
+    decoder_attention_heads: int = 4
+    decoder_linear_units: int = 2048
+    decoder_num_block: int = 6
+    decoder_input_layer: str = "embed"
+    decoder_dropout_rate: float = 0.1
+    decoder_src_attention_dropout_rate: float = 0.0
+    decoder_self_attention_dropout_rate: float = 0.0
+    ctc_dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(
+            idim=self.idim,
+            attention_dim=self.encoder_attention_dim,
+            attention_heads=self.encoder_attention_heads,
+            linear_units=self.encoder_linear_units,
+            num_blocks=self.encoder_num_blocks,
+            input_layer=self.encoder_input_layer,
+            dropout_rate=self.encoder_dropout_rate,
+            positional_dropout_rate=self.encoder_dropout_rate,
+            attention_dropout_rate=self.encoder_attention_dropout_rate,
+            dtype=self.dtype)
+        self.decoder = Decoder(
+            odim=self.odim,
+            attention_dim=self.decoder_attention_dim,
+            attention_heads=self.decoder_attention_heads,
+            linear_units=self.decoder_linear_units,
+            num_blocks=self.decoder_num_block,
+            input_layer=self.decoder_input_layer,
+            dropout_rate=self.decoder_dropout_rate,
+            positional_dropout_rate=self.decoder_dropout_rate,
+            self_attention_dropout_rate=self.decoder_self_attention_dropout_rate,
+            src_attention_dropout_rate=self.decoder_src_attention_dropout_rate,
+            dtype=self.dtype)
+        self.ctc = CTCHead(self.odim, self.ctc_dropout, dtype=self.dtype)
+
+
+class E2E_Conformer_CTC(E2EBase):
+    """Conformer encoder + Transformer decoder + CTC head
+    (e2e_conformer.py:10-53)."""
+
+    idim: int = 13
+    odim: int = 26
+    encoder_attention_dim: int = 256
+    encoder_attention_heads: int = 4
+    encoder_linear_units: int = 2048
+    encoder_num_blocks: int = 12
+    encoder_input_layer: str = "conv2d"
+    encoder_dropout_rate: float = 0.1
+    encoder_attention_dropout_rate: float = 0.0
+    encoder_pos_enc_layer_type: str = "abs_pos"
+    encoder_selfattention_layer_type: str = "selfattn"
+    encoder_use_cnn: bool = True
+    encoder_cnn_kernel: int = 31
+    decoder_attention_dim: int = 256
+    decoder_attention_heads: int = 4
+    decoder_linear_units: int = 2048
+    decoder_num_block: int = 6
+    decoder_input_layer: str = "embed"
+    decoder_dropout_rate: float = 0.1
+    decoder_src_attention_dropout_rate: float = 0.0
+    decoder_self_attention_dropout_rate: float = 0.0
+    ctc_dropout: float = 0.1
+    domain_dim: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ConformerEncoder(
+            idim=self.idim,
+            attention_dim=self.encoder_attention_dim,
+            attention_heads=self.encoder_attention_heads,
+            linear_units=self.encoder_linear_units,
+            num_blocks=self.encoder_num_blocks,
+            input_layer=self.encoder_input_layer,
+            dropout_rate=self.encoder_dropout_rate,
+            positional_dropout_rate=self.encoder_dropout_rate,
+            attention_dropout_rate=self.encoder_attention_dropout_rate,
+            positionwise_layer_type="linear",
+            positionwise_conv_kernel_size=1,
+            macaron_style=False,
+            pos_enc_layer_type=self.encoder_pos_enc_layer_type,
+            selfattention_layer_type=self.encoder_selfattention_layer_type,
+            use_cnn_module=self.encoder_use_cnn,
+            cnn_module_kernel=self.encoder_cnn_kernel,
+            dtype=self.dtype)
+        self.decoder = Decoder(
+            odim=self.odim,
+            attention_dim=self.decoder_attention_dim,
+            attention_heads=self.decoder_attention_heads,
+            linear_units=self.decoder_linear_units,
+            num_blocks=self.decoder_num_block,
+            input_layer=self.decoder_input_layer,
+            dropout_rate=self.decoder_dropout_rate,
+            positional_dropout_rate=self.decoder_dropout_rate,
+            self_attention_dropout_rate=self.decoder_self_attention_dropout_rate,
+            src_attention_dropout_rate=self.decoder_src_attention_dropout_rate,
+            dtype=self.dtype)
+        self.ctc = CTCHead(self.odim, self.ctc_dropout, dtype=self.dtype)

@@ -1,0 +1,118 @@
+"""Training criteria — pure jittable functions wrapped in config-friendly
+classes.
+
+Behavioral ports of ``lasr/modules/criterion/cross_entropy.py`` and
+``lasr/model/e2e_ctc_att/e2e_loss.py``:
+  - ``LabelSmoothingLoss``: KLDiv vs a smoothed one-hot, padding-masked,
+    divided by batch (or token count when normalize_length) —
+    cross_entropy.py:55-97.
+  - ``E2E_Loss``: ``rate·ctc + (1-rate)·att`` joint loss (e2e_loss.py:17-22)
+    with in-graph att accuracy; the reference's host-side greedy-CTC CER
+    proxy (a GPU→CPU sync every step, e2e_loss.py:38-46) is provided
+    separately as ``ctc_greedy_cer`` for periodic host-side evaluation.
+
+Criteria are plain callables (no Flax params) so they compose into the
+jitted train step; they keep the reference's dict-in/dict-out contract.
+"""
+
+from __future__ import annotations
+
+from itertools import groupby
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lasr_tpu.ops.ctc import ctc_labels_from_padded, ctc_loss
+from lasr_tpu.utils.text import edit_distance
+
+
+class LabelSmoothingLoss:
+    def __init__(self, size: int, padding_idx: int = -1, smoothing: float = 0.1,
+                 normalize_length: bool = False):
+        self.size = size
+        self.padding_idx = padding_idx
+        self.confidence = 1.0 - smoothing
+        self.smoothing = smoothing
+        self.normalize_length = normalize_length
+
+    def __call__(self, x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, L, V) logits; target: (B, L) ids padded with padding_idx."""
+        B = x.shape[0]
+        V = self.size
+        logp = jax.nn.log_softmax(x, axis=-1)
+        ignore = target == self.padding_idx
+        tgt = jnp.where(ignore, 0, target)
+        true_dist = jnp.full(x.shape, self.smoothing / (V - 1), dtype=logp.dtype)
+        true_dist = jnp.where(jax.nn.one_hot(tgt, V, dtype=bool),
+                              self.confidence, true_dist)
+        # torch KLDivLoss(log_input, target) = target * (log target - log_input)
+        safe_log_true = jnp.log(jnp.maximum(true_dist, 1e-30))
+        kl = true_dist * (safe_log_true - logp)
+        kl = jnp.where(ignore[..., None], 0.0, kl)
+        denom = jnp.maximum(jnp.sum(~ignore), 1) if self.normalize_length else B
+        return jnp.sum(kl) / denom
+
+
+def att_accuracy(att_out: jnp.ndarray, att_label: jnp.ndarray,
+                 ignore_id: int = -1) -> jnp.ndarray:
+    """Token accuracy over non-ignored positions (data_utils.py:29-36)."""
+    pred = jnp.argmax(att_out, axis=-1)
+    ok = (pred == att_label) & (att_label != ignore_id)
+    return jnp.sum(ok) / jnp.maximum(jnp.sum(att_label != ignore_id), 1)
+
+
+class E2E_Loss:
+    """Joint CTC + label-smoothed attention loss (dict contract)."""
+
+    def __init__(self, size: int, padding_idx: int = -1, smoothing: float = 0.1,
+                 rate: float = 0.5, ctc_type: str = "builtin",
+                 ignore_id: int = -1, blank_id: int = 0):
+        del ctc_type  # single first-party implementation covers both backends
+        self.att_loss = LabelSmoothingLoss(size, padding_idx, smoothing, False)
+        self.rate = rate
+        self.ignore_id = ignore_id
+        self.blank_id = blank_id
+
+    def __call__(self, att_out, ctc_out, att_label, ctc_label, hs_len):
+        att = self.att_loss(att_out, att_label)
+        labels, label_len = ctc_labels_from_padded(ctc_label, self.ignore_id)
+        ctc = ctc_loss(ctc_out, hs_len, labels, label_len, blank=self.blank_id)
+        main = (1.0 - self.rate) * att + self.rate * ctc
+        return main, att, ctc
+
+    def train_forward(self, input_dict: Dict) -> Dict:
+        main, att, ctc = self(
+            att_out=input_dict["att_out"],
+            ctc_out=input_dict["ctc_out"],
+            att_label=input_dict["att_label"],
+            ctc_label=input_dict["ctc_label"],
+            hs_len=input_dict["hs_len"])
+        return {
+            "loss_main": main,
+            "att_loss": att,
+            "ctc_loss": ctc,
+            "att_corr": att_accuracy(input_dict["att_out"],
+                                     input_dict["att_label"], self.ignore_id),
+        }
+
+    valid_forward = train_forward
+
+
+def ctc_greedy_cer(ctc_out: np.ndarray, ctc_label: np.ndarray,
+                   hs_len: np.ndarray, blank_id: int = 0,
+                   ignore_id: int = -1) -> float:
+    """Host-side greedy-CTC CER proxy (data_utils.py:38-70). Call this
+    periodically from the trainer, not inside the step (it syncs)."""
+    pred = np.argmax(ctc_out, axis=-1)
+    errs, total = 0, 0
+    for i in range(pred.shape[0]):
+        hyp = [k for k, _ in groupby(pred[i, : int(hs_len[i])])
+               if k != blank_id and k != ignore_id]
+        ref = [int(t) for t in ctc_label[i]
+               if t != blank_id and t != ignore_id]
+        if ref:
+            errs += edit_distance(ref, hyp)
+            total += len(ref)
+    return errs / total if total else 0.0

@@ -1,0 +1,221 @@
+"""Multi-head attention family (Flax).
+
+Behavioral ports of ``lasr/modules/net/transformer/attention.py``:
+  - ``MultiHeadedAttention``: scaled-dot MHA; the post-softmax map is
+    ``sow``n into the 'intermediates' collection (key ``attn``) for the
+    ``calculate_all_attentions`` parity hook (reference attention.py:84-88).
+  - ``RelPositionMultiHeadedAttention``: Transformer-XL relative position
+    scoring with learnable pos_bias_u/v and the rel-shift trick
+    (attention.py:117-203).
+  - ``MTMultiHeadedAttention``: monotonic truncated attention — sigmoid
+    choose-probabilities times an exclusive survival cumprod, trainable
+    scalar score bias, optional training-time sigmoid noise
+    (attention.py:241-277; bug-fixed copy online_transformer/attention.py).
+
+All masks are boolean with True = attendable.  Each class exposes
+``project_kv`` / ``attend`` so decode-time KV caching reuses the same
+parameters without re-projecting the memory every step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _mask_min(dtype) -> float:
+    return float(jnp.finfo(dtype).min)
+
+
+class MultiHeadedAttention(nn.Module):
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def d_k(self) -> int:
+        return self.n_feat // self.n_head
+
+    def setup(self):
+        assert self.n_feat % self.n_head == 0
+        dense = lambda name: nn.Dense(self.n_feat, dtype=self.dtype, name=name)
+        self.linear_q = dense("linear_q")
+        self.linear_k = dense("linear_k")
+        self.linear_v = dense("linear_v")
+        self.linear_out = dense("linear_out")
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def _split(self, x):
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.n_head, self.d_k)
+
+    def project_q(self, query):
+        return self._split(self.linear_q(query))  # (B, T1, H, dk)
+
+    def project_kv(self, key, value):
+        return self._split(self.linear_k(key)), self._split(self.linear_v(value))
+
+    def _softmax_attend(self, scores, v, mask, deterministic):
+        """scores: (B, H, T1, T2); v: (B, T2, H, dk); mask broadcastable to
+        (B, 1|H, T1|1, T2) boolean."""
+        if mask is not None:
+            while mask.ndim < scores.ndim:
+                mask = mask[:, None] if mask.ndim == 3 else mask[None]
+            scores = jnp.where(mask, scores, _mask_min(scores.dtype))
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = jnp.where(mask, attn, 0.0)
+        else:
+            attn = jax.nn.softmax(scores, axis=-1)
+        self.sow("intermediates", "attn", attn)
+        p_attn = self.attn_dropout(attn, deterministic=deterministic)
+        x = jnp.einsum("bhqk,bkhd->bqhd", p_attn, v)
+        B, T1 = x.shape[:2]
+        return self.linear_out(x.reshape(B, T1, self.n_feat))
+
+    def attend(self, q, k, v, mask=None, deterministic: bool = True):
+        """q: (B, T1, H, dk); k/v: (B, T2, H, dk)."""
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
+        return self._softmax_attend(scores, v, mask, deterministic)
+
+    def __call__(self, query, key, value, mask=None, deterministic: bool = True):
+        q = self.project_q(query)
+        k, v = self.project_kv(key, value)
+        return self.attend(q, k, v, mask, deterministic)
+
+
+def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL relative shift (reference attention.py:141-161).
+
+    x: (B, H, T1, P) scores against relative positions [T1-1 .. -(T1-1)]
+    (P = 2*T1-1). Returns (B, H, T1, P//2+1): per query row i, the scores
+    realigned so column j is relative distance i-j, keeping keys 0..T1-1.
+    """
+    B, H, T1, P = x.shape
+    zero_pad = jnp.zeros((B, H, T1, 1), dtype=x.dtype)
+    x_padded = jnp.concatenate([zero_pad, x], axis=-1)  # (B,H,T1,P+1)
+    x_padded = x_padded.reshape(B, H, P + 1, T1)
+    x = x_padded[:, :, 1:].reshape(B, H, T1, P)
+    return x[..., : P // 2 + 1]
+
+
+class RelPositionMultiHeadedAttention(MultiHeadedAttention):
+    zero_triu: bool = False
+
+    def setup(self):
+        super().setup()
+        self.linear_pos = nn.Dense(self.n_feat, use_bias=False,
+                                   dtype=self.dtype, name="linear_pos")
+        init = nn.initializers.xavier_uniform()
+        self.pos_bias_u = self.param("pos_bias_u", init, (self.n_head, self.d_k))
+        self.pos_bias_v = self.param("pos_bias_v", init, (self.n_head, self.d_k))
+
+    def __call__(self, query, key, value, pos_emb, mask=None,
+                 deterministic: bool = True):
+        q = self.project_q(query)                       # (B, T1, H, dk)
+        k, v = self.project_kv(key, value)              # (B, T2, H, dk)
+        p = self._split(self.linear_pos(pos_emb))       # (1|B, 2T-1, H, dk)
+
+        q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
+        q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
+        # content score (matrix a+c) and position score (matrix b+d)
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+        matrix_bd = jnp.einsum("bqhd,bphd->bhqp", q_v,
+                               jnp.broadcast_to(p, (q.shape[0],) + p.shape[1:]))
+        matrix_bd = rel_shift(matrix_bd)
+        scores = (matrix_ac + matrix_bd[..., : k.shape[1]]) / math.sqrt(self.d_k)
+        if self.zero_triu:
+            T1, T2 = scores.shape[2], scores.shape[3]
+            tri = jnp.tril(jnp.ones((T1, T2), dtype=bool), T2 - T1)
+            scores = jnp.where(tri[None, None], scores, 0.0)
+        return self._softmax_attend(scores, v, mask, deterministic)
+
+
+def safe_exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Exclusive cumprod computed as exp∘cumsum∘log for stability
+    (reference attention.py:205-222); first element along axis is 1."""
+    tiny = float(jnp.finfo(x.dtype).tiny)
+    logs = jnp.log(jnp.clip(x, tiny, 1.0))
+    csum = jnp.cumsum(logs, axis=axis)
+    head = [slice(None)] * x.ndim
+    head[axis] = slice(0, 1)
+    rest = [slice(None)] * x.ndim
+    rest[axis] = slice(0, -1)
+    ones = jnp.ones_like(x[tuple(head)])
+    return jnp.concatenate([ones, jnp.exp(csum)[tuple(rest)]], axis=axis)
+
+
+class MTMultiHeadedAttention(MultiHeadedAttention):
+    """Monotonic truncated attention for streaming decoders."""
+
+    bias_init: float = 0.0
+    sigmoid_noise: float = 1.0
+
+    def setup(self):
+        super().setup()
+        self.src_att_bias = self.param(
+            "src_att_bias",
+            lambda key, shape: jnp.full(shape, self.bias_init, jnp.float32),
+            (1, 1))
+
+    def _choose_probs(self, scores, mask, noise_key=None):
+        if noise_key is not None and self.sigmoid_noise > 0:
+            scores = scores + self.sigmoid_noise * jax.random.normal(
+                noise_key, scores.shape, scores.dtype)
+        if mask is not None:
+            while mask.ndim < scores.ndim:
+                mask = mask[:, None] if mask.ndim == 3 else mask[None]
+            scores = jnp.where(mask, scores, _mask_min(scores.dtype))
+            p = jax.nn.sigmoid(scores)
+            p = jnp.where(mask, p, 0.0)
+        else:
+            p = jax.nn.sigmoid(scores)
+        return p
+
+    def __call__(self, query, key, value, mask=None, deterministic: bool = True):
+        q = self.project_q(query)
+        k, v = self.project_kv(key, value)
+        scores = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
+                  + self.src_att_bias.astype(q.dtype))
+        noise_key = None
+        if not deterministic and self.sigmoid_noise > 0:
+            noise_key = self.make_rng("dropout")
+        p_choose = self._choose_probs(scores, mask, noise_key)
+        survive = safe_exclusive_cumprod(1.0 - p_choose, axis=-1)
+        attn = p_choose * survive
+        self.sow("intermediates", "attn", attn)
+        p_attn = self.attn_dropout(attn, deterministic=deterministic)
+        x = jnp.einsum("bhqk,bkhd->bqhd", p_attn, v)
+        B, T1 = x.shape[:2]
+        return self.linear_out(x.reshape(B, T1, self.n_feat))
+
+    def decode_attend(self, q, k, v, endpoint):
+        """Single-step monotonic decode with per-head endpoint advance.
+
+        q: (B, 1, H, dk); k/v: (B, T2, H, dk); endpoint: (B, H) int32 last
+        committed source positions.  Vectorized form of the reference's
+        per-head python scan (online_transformer/attention.py:92-123): the
+        new endpoint is the first position > endpoint with score > 0 (or the
+        old endpoint if none), and attention mass past it is truncated.
+        Returns (context (B, 1, n_feat), new endpoint (B, H)).
+        """
+        scores = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
+                  + self.src_att_bias.astype(q.dtype))       # (B, H, 1, T2)
+        s = scores[:, :, 0, :]                                # (B, H, T2)
+        T2 = s.shape[-1]
+        pos = jnp.arange(T2)
+        beyond = pos[None, None, :] > endpoint[..., None]
+        cand = beyond & (s > 0)
+        first = jnp.argmax(cand, axis=-1)                     # 0 if none
+        has = jnp.any(cand, axis=-1)
+        new_ep = jnp.where(has, first, endpoint)
+        p = jax.nn.sigmoid(s)
+        attn = p * safe_exclusive_cumprod(1.0 - p, axis=-1)
+        attn = jnp.where(pos[None, None, :] <= new_ep[..., None], attn, 0.0)
+        x = jnp.einsum("bhk,bkhd->bhd", attn, v)
+        B = x.shape[0]
+        return self.linear_out(x.reshape(B, 1, self.n_feat)), new_ep

@@ -1,0 +1,250 @@
+"""Conformer encoder (Flax).
+
+Behavioral port of ``lasr/modules/net/conformer/{encoder,encoder_layer,
+convolution,swish}.py``: macaron-optional blocks of
+ff(.5) → MHA(+rel pos) → conv module → ff(.5) → final norm, with the
+ConvolutionModule as pointwise→GLU→depthwise(k=31)→BatchNorm→swish→pointwise
+(convolution.py:22-79).  BatchNorm keeps the reference's exact semantics:
+per-replica statistics (the reference trains with sync_batchnorm=False,
+bin/train_lighting.py:207) including padded frames.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lasr_tpu.modules.attention import (
+    MultiHeadedAttention, RelPositionMultiHeadedAttention)
+from lasr_tpu.modules.embedding import (
+    PositionalEncoding, RelPositionalEncoding, ScaledPositionalEncoding)
+from lasr_tpu.modules.feed_forward import (
+    Conv1dLinear, MultiLayeredConv1d, PositionwiseFeedForward)
+from lasr_tpu.modules.subsampling import Conv2dSubsampling
+from lasr_tpu.modules.transformer import LAYERNORM_EPS
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+class ConvolutionModule(nn.Module):
+    channels: int
+    kernel_size: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, T, C) → (B, T, C)."""
+        h = nn.Conv(2 * self.channels, (1,), dtype=self.dtype,
+                    name="pointwise_conv1")(x)
+        h = nn.glu(h, axis=-1)
+        pad = (self.kernel_size - 1) // 2
+        h = nn.Conv(self.channels, (self.kernel_size,), padding=[(pad, pad)],
+                    feature_group_count=self.channels, dtype=self.dtype,
+                    name="depthwise_conv")(h)
+        h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="norm")(h)
+        h = swish(h)
+        return nn.Conv(self.channels, (1,), dtype=self.dtype,
+                       name="pointwise_conv2")(h)
+
+
+class ConformerEncoderLayer(nn.Module):
+    size: int
+    attention_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    selfattention_layer_type: str = "selfattn"   # or "rel_selfattn"
+    positionwise_layer_type: str = "linear"      # or "conv1d" / "conv1d-linear"
+    positionwise_conv_kernel_size: int = 1
+    macaron_style: bool = False
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    normalize_before: bool = True
+    concat_after: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def _positionwise(self, name):
+        if self.positionwise_layer_type == "linear":
+            return PositionwiseFeedForward(
+                self.size, self.linear_units, self.dropout_rate,
+                activation=swish, dtype=self.dtype, name=name)
+        if self.positionwise_layer_type == "conv1d":
+            return MultiLayeredConv1d(
+                self.size, self.linear_units, self.positionwise_conv_kernel_size,
+                self.dropout_rate, dtype=self.dtype, name=name)
+        if self.positionwise_layer_type == "conv1d-linear":
+            return Conv1dLinear(
+                self.size, self.linear_units, self.positionwise_conv_kernel_size,
+                self.dropout_rate, dtype=self.dtype, name=name)
+        raise NotImplementedError(self.positionwise_layer_type)
+
+    @nn.compact
+    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout_rate)
+        ff_scale = 0.5 if self.macaron_style else 1.0
+
+        if self.macaron_style:
+            residual = x
+            if self.normalize_before:
+                x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype,
+                                 name="norm_ff_macaron")(x)
+            x = residual + ff_scale * drop(
+                self._positionwise("feed_forward_macaron")(
+                    x, deterministic=deterministic),
+                deterministic=deterministic)
+            if not self.normalize_before:
+                x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype,
+                                 name="norm_ff_macaron")(x)
+
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype, name="norm_mha")(x)
+        if self.selfattention_layer_type == "rel_selfattn":
+            assert pos_emb is not None
+            att = RelPositionMultiHeadedAttention(
+                self.attention_heads, self.size, self.attention_dropout_rate,
+                dtype=self.dtype, name="self_attn")(
+                x, x, x, pos_emb, mask, deterministic=deterministic)
+        else:
+            att = MultiHeadedAttention(
+                self.attention_heads, self.size, self.attention_dropout_rate,
+                dtype=self.dtype, name="self_attn")(
+                x, x, x, mask, deterministic=deterministic)
+        if self.concat_after:
+            x = residual + nn.Dense(self.size, dtype=self.dtype,
+                                    name="concat_linear")(
+                jnp.concatenate([x, att], axis=-1))
+        else:
+            x = residual + drop(att, deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype, name="norm_mha")(x)
+
+        if self.use_cnn_module:
+            residual = x
+            if self.normalize_before:
+                x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype,
+                                 name="norm_conv")(x)
+            x = residual + drop(
+                ConvolutionModule(self.size, self.cnn_module_kernel,
+                                  dtype=self.dtype, name="conv_module")(
+                    x, deterministic=deterministic),
+                deterministic=deterministic)
+            if not self.normalize_before:
+                x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype,
+                                 name="norm_conv")(x)
+
+        residual = x
+        if self.normalize_before:
+            x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype, name="norm_ff")(x)
+        x = residual + ff_scale * drop(
+            self._positionwise("feed_forward")(x, deterministic=deterministic),
+            deterministic=deterministic)
+        if not self.normalize_before:
+            x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype, name="norm_ff")(x)
+
+        if self.use_cnn_module:
+            x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype, name="norm_final")(x)
+        return x
+
+
+class ConformerEncoder(nn.Module):
+    """Conformer encoder stack (conformer/encoder.py:37-229)."""
+
+    idim: int
+    attention_dim: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: Optional[str] = "conv2d"
+    normalize_before: bool = True
+    concat_after: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 1
+    macaron_style: bool = False
+    pos_enc_layer_type: str = "abs_pos"   # abs_pos | scaled_abs_pos | rel_pos
+    selfattention_layer_type: str = "selfattn"
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    def _pos_enc(self):
+        if self.pos_enc_layer_type == "abs_pos":
+            return PositionalEncoding(self.attention_dim,
+                                      self.positional_dropout_rate,
+                                      dtype=self.dtype)
+        if self.pos_enc_layer_type == "scaled_abs_pos":
+            return ScaledPositionalEncoding(self.attention_dim,
+                                            self.positional_dropout_rate,
+                                            dtype=self.dtype)
+        if self.pos_enc_layer_type == "rel_pos":
+            assert self.selfattention_layer_type == "rel_selfattn"
+            return RelPositionalEncoding(self.attention_dim,
+                                         self.positional_dropout_rate,
+                                         dtype=self.dtype)
+        raise ValueError(f"unknown pos_enc_layer: {self.pos_enc_layer_type}")
+
+    def setup(self):
+        pos_enc = self._pos_enc()
+        if self.input_layer == "conv2d":
+            self.embed = Conv2dSubsampling(
+                self.idim, self.attention_dim, self.dropout_rate,
+                pos_enc=pos_enc, dtype=self.dtype)
+        elif self.input_layer == "linear":
+            self.embed_linear = nn.Dense(self.attention_dim, dtype=self.dtype)
+            self.embed_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+            self.embed_pos = pos_enc
+        elif self.input_layer is None:
+            self.embed_pos = pos_enc
+        else:
+            raise ValueError(f"unknown input_layer: {self.input_layer}")
+        self.encoders = [
+            ConformerEncoderLayer(
+                self.attention_dim, self.attention_heads, self.linear_units,
+                self.dropout_rate, self.attention_dropout_rate,
+                self.selfattention_layer_type, self.positionwise_layer_type,
+                self.positionwise_conv_kernel_size, self.macaron_style,
+                self.use_cnn_module, self.cnn_module_kernel,
+                self.normalize_before, self.concat_after,
+                dtype=self.dtype, name=f"layers_{i}")
+            for i in range(self.num_blocks)]
+        if self.normalize_before:
+            self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+
+    def __call__(self, x, x_len, att_mask=None, deterministic: bool = True):
+        rel = self.pos_enc_layer_type == "rel_pos"
+        if self.input_layer == "conv2d":
+            out, h_len = self.embed(x, x_len, deterministic=deterministic)
+        elif self.input_layer == "linear":
+            h = self.embed_linear(x)
+            h = self.embed_norm(h)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            out = self.embed_pos(h, deterministic=deterministic)
+            h_len = x_len
+        else:
+            out = self.embed_pos(x, deterministic=deterministic)
+            h_len = x_len
+        if rel:
+            h, pos_emb = out
+        else:
+            h, pos_emb = out, None
+
+        T = h.shape[1]
+        pad = jnp.arange(T)[None, :] < h_len[:, None]
+        mask = pad[:, None, :]
+        if att_mask is not None:
+            if att_mask.ndim == 2:
+                att_mask = att_mask[None]
+            mask = mask & att_mask
+        for layer in self.encoders:
+            h = layer(h, mask, pos_emb, deterministic=deterministic)
+        if self.normalize_before:
+            h = self.after_norm(h)
+        return h, h_len

@@ -1,0 +1,87 @@
+"""Conv2d subsampling frontends (Flax).
+
+Behavioral ports of ``lasr/modules/net/transformer/subsampling.py``: stacks
+of stride-2 (or 3) VALID 3x3 convs over (time, freq) followed by a linear
+projection and positional encoding.  The reference's mask-slicing semantics
+(``mask[:, :-2:2]`` per stride-2 conv) define the output length contract;
+``subsampled_len`` reproduces it exactly for traced lengths.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lasr_tpu.modules.embedding import PositionalEncoding
+
+
+def conv_out_T(T: int, kernel: int, stride: int) -> int:
+    """Static output length of a VALID conv along time."""
+    return (T - kernel) // stride + 1
+
+
+def subsampled_len(length, T: int, kernel: int = 3, stride: int = 2):
+    """Valid output count under the reference's mask-slice convention.
+
+    ``mask[:, :-(kernel-1):stride]`` keeps positions 0, s, 2s, ... up to
+    T-kernel; a position j is valid iff j < length.  Works on ints or traced
+    arrays.
+    """
+    capped = jnp.minimum(length, T - (kernel - 1)) if not isinstance(length, int) \
+        else min(length, T - (kernel - 1))
+    return (capped + stride - 1) // stride
+
+
+class Conv2dSubsampling(nn.Module):
+    """T → T/4 (two stride-2 3x3 convs), reference subsampling.py:14-74."""
+
+    idim: int
+    odim: int
+    dropout_rate: float = 0.1
+    pos_enc: Optional[nn.Module] = None
+    dtype: jnp.dtype = jnp.float32
+
+    # (kernel, stride) per conv stage; subclass-style variants change this
+    stages = ((3, 2), (3, 2))
+
+    @nn.compact
+    def __call__(self, x, x_len, offset=0, deterministic: bool = True):
+        """x: (B, T, idim) → ((B, T', odim) or tuple with pos_emb, (B,) T'len)."""
+        h = x[..., None].astype(self.dtype)  # (B, T, F, 1) NHWC
+        T = x.shape[1]
+        new_len = x_len
+        for kernel, stride in self.stages:
+            h = nn.Conv(self.odim, kernel_size=(kernel, kernel),
+                        strides=(stride, stride), padding="VALID",
+                        dtype=self.dtype)(h)
+            h = nn.relu(h)
+            new_len = subsampled_len(new_len, T, kernel, stride)
+            T = conv_out_T(T, kernel, stride)
+        B, Tp, Fp, C = h.shape
+        h = h.transpose(0, 1, 3, 2).reshape(B, Tp, C * Fp)
+        h = nn.Dense(self.odim, dtype=self.dtype)(h)
+        pos_enc = self.pos_enc
+        if pos_enc is None:
+            pos_enc = PositionalEncoding(self.odim, self.dropout_rate,
+                                         dtype=self.dtype)
+        out = pos_enc(h, offset=offset, deterministic=deterministic) \
+            if not _returns_tuple(pos_enc) else pos_enc(h, deterministic=deterministic)
+        return out, new_len
+
+
+def _returns_tuple(pos_enc) -> bool:
+    """RelPositionalEncoding returns (x, pos_emb) and takes no offset."""
+    from lasr_tpu.modules.embedding import RelPositionalEncoding
+    return isinstance(pos_enc, RelPositionalEncoding)
+
+
+class Conv2dSubsampling6(Conv2dSubsampling):
+    """T → T/6 (stride-2 k3 then stride-3 k5), reference subsampling.py:77-122."""
+    stages = ((3, 2), (5, 3))
+
+
+class Conv2dSubsampling8(Conv2dSubsampling):
+    """T → T/8 (three stride-2 k3), reference subsampling.py:125-172."""
+    stages = ((3, 2), (3, 2), (3, 2))

@@ -1,0 +1,178 @@
+"""NN module tests: shapes, masking, rel-shift math, subsampling lengths."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from lasr_tpu.modules.attention import (
+    MultiHeadedAttention, RelPositionMultiHeadedAttention,
+    MTMultiHeadedAttention, rel_shift, safe_exclusive_cumprod)
+from lasr_tpu.modules.embedding import (
+    PositionalEncoding, RelPositionalEncoding, sinusoid_table)
+from lasr_tpu.modules.subsampling import Conv2dSubsampling, subsampled_len
+from lasr_tpu.modules.transformer import Encoder, Decoder
+from lasr_tpu.modules.conformer import ConformerEncoder, ConvolutionModule
+from lasr_tpu.utils.masks import target_mask
+
+
+def test_rel_shift_matches_naive():
+    """rel_shift must realign column p (rel dist T1-1-p) to key j = i - dist."""
+    B, H, T = 1, 1, 5
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, H, T, 2 * T - 1)).astype(np.float32)
+    got = np.asarray(rel_shift(jnp.asarray(x)))
+    # naive: out[i, j] = x[i, (T-1) - (i - j)] for 0 <= j < T
+    want = np.zeros((B, H, T, T), np.float32)
+    for i in range(T):
+        for j in range(T):
+            want[0, 0, i, j] = x[0, 0, i, (T - 1) - (i - j)]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_safe_exclusive_cumprod():
+    x = jnp.asarray([[0.5, 0.5, 0.5]])
+    out = np.asarray(safe_exclusive_cumprod(x))
+    np.testing.assert_allclose(out[0], [1.0, 0.5, 0.25], atol=1e-6)
+
+
+def test_mha_masking():
+    mha = MultiHeadedAttention(n_head=2, n_feat=8)
+    q = jnp.ones((2, 3, 8))
+    kv = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8))
+    mask = jnp.asarray([[[True, True, False, False]]] * 2)  # (B,1,T2)
+    params = mha.init(jax.random.PRNGKey(1), q, kv, kv, mask)
+    out, inter = mha.apply(params, q, kv, kv, mask, mutable=["intermediates"])
+    assert out.shape == (2, 3, 8)
+    attn = np.asarray(inter["intermediates"]["attn"][0])  # (B,H,T1,T2)
+    assert np.all(attn[..., 2:] == 0.0)
+    np.testing.assert_allclose(attn.sum(-1), 1.0, atol=1e-5)
+
+
+def test_rel_mha_shapes():
+    mha = RelPositionMultiHeadedAttention(n_head=2, n_feat=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (1, 9, 8))
+    params = mha.init(jax.random.PRNGKey(2), x, x, x, pos)
+    out = mha.apply(params, x, x, x, pos)
+    assert out.shape == (2, 5, 8)
+
+
+def test_mta_monotonic_weights_sum_below_one():
+    mta = MTMultiHeadedAttention(n_head=2, n_feat=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
+    mem = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 8))
+    params = mta.init(jax.random.PRNGKey(2), x, mem, mem)
+    out, inter = mta.apply(params, x, mem, mem, mutable=["intermediates"])
+    assert out.shape == (1, 4, 8)
+    attn = np.asarray(inter["intermediates"]["attn"][0])
+    assert np.all(attn >= 0) and np.all(attn.sum(-1) <= 1.0 + 1e-5)
+
+
+def test_positional_encoding_offset():
+    pe = PositionalEncoding(8, dropout_rate=0.0)
+    x = jnp.zeros((1, 4, 8))
+    params = pe.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(pe.apply(params, jnp.zeros((1, 10, 8))))
+    off = np.asarray(pe.apply(params, x, offset=3))
+    np.testing.assert_allclose(off[0], base[0, 3:7], atol=1e-6)
+
+
+def test_rel_positional_encoding_center():
+    pe = RelPositionalEncoding(8, dropout_rate=0.0)
+    x = jnp.zeros((1, 5, 8))
+    params = pe.init(jax.random.PRNGKey(0), x)
+    _, pos = pe.apply(params, x)
+    assert pos.shape == (1, 9, 8)
+    # center (index T-1=4) is relative distance 0 → sinusoid_table row 0
+    np.testing.assert_allclose(
+        np.asarray(pos[0, 4]), sinusoid_table(1, 8)[0], atol=1e-6)
+
+
+def test_subsampled_len_matches_slicing():
+    for T in (17, 32, 101):
+        mask = np.ones(T, bool)
+        for l in (T, T - 3, 9):
+            m = mask.copy()
+            m[l:] = False
+            want = m[:-2:2].sum()
+            got = subsampled_len(l, T)
+            assert got == want, (T, l, got, want)
+
+
+def test_conv2d_subsampling_shapes_and_torch_T():
+    sub = Conv2dSubsampling(idim=80, odim=16, dropout_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 58, 80))
+    x_len = jnp.asarray([58, 30])
+    params = sub.init(jax.random.PRNGKey(1), x, x_len)
+    out, new_len = sub.apply(params, x, x_len)
+    # torch: T'=(58-3)//2+1=28 then (28-3)//2+1=13
+    assert out.shape == (2, 13, 16)
+    assert int(new_len[0]) == 13
+    # l=30 → ceil(min(30,56)/2)=15 → ceil(min(15,26)/2)=8
+    assert int(new_len[1]) == 8
+
+
+def test_transformer_encoder_padding_invariance():
+    enc = Encoder(idim=20, attention_dim=16, attention_heads=2,
+                  linear_units=32, num_blocks=2, dropout_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 31, 20))
+    x40 = jnp.concatenate([x, jnp.zeros((1, 9, 20))], axis=1)
+    x48 = jnp.concatenate([x, jnp.zeros((1, 17, 20))], axis=1)
+    params = enc.init(jax.random.PRNGKey(1), x40, jnp.asarray([31]))
+    hs, hs_len = enc.apply(params, x40, jnp.asarray([31]))
+    hs2, hs_len2 = enc.apply(params, x48, jnp.asarray([31]))
+    n = int(hs_len[0])
+    assert n == int(hs_len2[0])
+    np.testing.assert_allclose(np.asarray(hs[0, :n]), np.asarray(hs2[0, :n]),
+                               atol=1e-4)
+
+
+def test_decoder_full_vs_cached_step():
+    """Cached KV decode must equal the full forward at each position."""
+    dec = Decoder(odim=11, attention_dim=16, attention_heads=2,
+                  linear_units=32, num_blocks=2, dropout_rate=0.0)
+    B, L, T = 2, 5, 7
+    mem = jax.random.normal(jax.random.PRNGKey(0), (B, T, 16))
+    mem_mask = jnp.ones((B, 1, T), bool)
+    ys = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0, 11)
+    params = dec.init(jax.random.PRNGKey(2), ys, target_mask(ys), mem, mem_mask)
+
+    full = dec.apply(params, ys, target_mask(ys), mem, mem_mask)
+    full_logp = np.asarray(jax.nn.log_softmax(full, axis=-1))
+
+    cache = dec.apply(params, B, L, method=Decoder.init_cache)
+    mem_k, mem_v = dec.apply(params, mem, method=Decoder.project_memory)
+    for t in range(L):
+        logp, cache = dec.apply(params, ys[:, t], t, cache, mem_k, mem_v,
+                                mem_mask, method=Decoder.forward_one_step)
+        np.testing.assert_allclose(np.asarray(logp), full_logp[:, t],
+                                   atol=1e-4)
+
+
+def test_conformer_encoder_rel_pos():
+    enc = ConformerEncoder(
+        idim=40, attention_dim=16, attention_heads=2, linear_units=32,
+        num_blocks=2, dropout_rate=0.0, pos_enc_layer_type="rel_pos",
+        selfattention_layer_type="rel_selfattn", use_cnn_module=True,
+        cnn_module_kernel=7)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 37, 40))
+    x_len = jnp.asarray([37, 20])
+    vars_ = enc.init(jax.random.PRNGKey(1), x, x_len)
+    hs, hs_len = enc.apply(vars_, x, x_len, deterministic=True)
+    assert hs.shape[0] == 2 and hs.shape[2] == 16
+    assert "batch_stats" in vars_
+    # train mode mutates batch stats
+    hs2, new_stats = enc.apply(vars_, x, x_len, deterministic=False,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(3)})
+    assert "batch_stats" in new_stats
+
+
+def test_convolution_module_shape():
+    m = ConvolutionModule(channels=16, kernel_size=7)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    vars_ = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(vars_, x)
+    assert out.shape == (2, 10, 16)
