@@ -1,0 +1,294 @@
+"""Datasets: Kaldi-scp loading, length-aware batching, bucketed padding.
+
+Behavioral port of ``lasr/data/dataset.py`` with a TPU-first batch contract:
+
+  - ``AudioDataSet``: rows of ``{id, wav, text}`` from parallel wav.scp/text
+    (id-match checked, dataset.py:79-95); ``load_check_data`` probes every
+    duration and pre-tokenizes every transcript (dataset.py:63-133).
+  - ``BatchAudioDataSet``: shuffle → stable sort by ``wav_len*16000 +
+    token_len`` → duration/token filters → group by count or total seconds
+    (dataset.py:260-305).
+
+TPU-first differences (documented; external behavior equivalent):
+  - Batches carry RAW waveforms; the fbank/SpecAugment frontend runs
+    on-device inside the jitted step (ops/fbank.py) instead of in 16
+    dataloader worker processes.  ``audio_trans`` still comes from YAML and
+    is compiled into the device frontend (lasr_tpu/data/frontend.py).
+  - Shapes are BUCKETED: samples round up to 1 s multiples, token lengths to
+    multiples of 8, and the batch dim pads up to ``batch_pad_multiple`` with
+    zero-length dummy rows — so XLA sees a small closed set of shapes
+    instead of recompiling per batch.  Losses mask dummy rows via
+    ``hs_len == 0``.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from lasr_tpu.data import reader
+
+SAMPLE_RATE = 16000
+
+
+def round_up(n: int, multiple: int) -> int:
+    return ((max(n, 1) + multiple - 1) // multiple) * multiple
+
+
+def pad_stack(arrays: Sequence[np.ndarray], pad_value, length: int,
+              dtype) -> np.ndarray:
+    out = np.full((len(arrays), length) + arrays[0].shape[1:], pad_value,
+                  dtype=dtype)
+    for i, a in enumerate(arrays):
+        out[i, : len(a)] = a
+    return out
+
+
+class AudioDataSet:
+    """Kaldi-scp dataset; one __getitem__ row = one utterance dict."""
+
+    PAD_ID = 4  # BaseTokenizer.ID_VALUE_PAD
+
+    def __init__(self, wav_list=None, text_list=None, feats_list=None,
+                 tokenizer=None, audio_trans=("fbank:80",), feats_trans=None,
+                 pad_audio=0, pad_feats=0,
+                 sample_bucket: int = SAMPLE_RATE,
+                 token_bucket: int = 8,
+                 batch_pad_multiple: int = 1):
+        if isinstance(wav_list, str):
+            wav_list = [wav_list]
+        if isinstance(text_list, str):
+            text_list = [text_list]
+        self.wav_list = wav_list or []
+        self.text_list = text_list or []
+        self.feats_list = feats_list
+        self.tokenizer = tokenizer
+        self.audio_trans = list(audio_trans) if audio_trans else []
+        self.feats_trans = feats_trans
+        self.pad_audio = pad_audio
+        self.pad_feats = pad_feats
+        self.sample_bucket = sample_bucket
+        self.token_bucket = token_bucket
+        self.batch_pad_multiple = batch_pad_multiple
+        self.train_set: List = []
+
+    def __len__(self) -> int:
+        return len(self.train_set)
+
+    def __getitem__(self, index):
+        return self.train_set[index]
+
+    def load_check_data(self) -> None:
+        self.load_dataset()
+        self.check_dataset()
+
+    def load_dataset(self) -> None:
+        for wav_path, text_path in zip(self.wav_list, self.text_list):
+            wav_rows = reader.read_scp(wav_path)
+            text_rows = reader.read_scp(text_path)
+            if len(wav_rows) != len(text_rows):
+                raise RuntimeError(
+                    f"row count mismatch: {wav_path} has {len(wav_rows)}, "
+                    f"{text_path} has {len(text_rows)}")
+            for (wid, wpath), (tid, text) in zip(wav_rows, text_rows):
+                if wid != tid:
+                    raise RuntimeError(
+                        f"input data id doesn't match {wid},{tid}")
+                self.train_set.append({
+                    "id": wid, "wav": wpath, "text": text.upper(),
+                    "feats": "None"})
+
+    def check_dataset(self) -> None:
+        logging.info("Checking data (%d utts)", len(self.train_set))
+        for item in self.train_set:
+            item["wav_len"] = (reader.get_audio_duration(item["wav"])
+                               if item["wav"] != "None" else 0.0)
+            if item["text"] != "None" and self.tokenizer is not None:
+                item["token"], ids = self.tokenizer.encode(
+                    item["text"], add_sos_eos=False)
+                item["token_id"] = np.asarray(ids, dtype=np.int64)
+                item["token_len"] = len(ids)
+            else:
+                item["token_id"] = np.asarray([0], dtype=np.int64)
+                item["token_len"] = 0
+
+    # ---- batch assembly ----
+
+    def merge_batch(self, items: Sequence[Dict]) -> Dict:
+        """Read + host-transform waveforms and pad to bucketed shapes."""
+        waves, wave_lens = [], []
+        for item in items:
+            wav, sr = reader.read_audio(item["wav"])
+            wav = reader.average_channels(wav)
+            if sr != SAMPLE_RATE:
+                wav = reader.resample_linear(wav, sr, SAMPLE_RATE)
+            waves.append(np.asarray(wav, dtype=np.float32))
+            wave_lens.append(len(wav))
+
+        S = round_up(max(wave_lens), self.sample_bucket)
+        L = round_up(max(it["token_len"] for it in items) or 1,
+                     self.token_bucket)
+        B = round_up(len(items), self.batch_pad_multiple)
+
+        wav_array = np.full((B, S), float(self.pad_audio), dtype=np.float32)
+        for i, w in enumerate(waves):
+            wav_array[i, : len(w)] = w
+        wav_len = np.zeros((B,), dtype=np.int32)
+        wav_len[: len(items)] = wave_lens
+
+        token_id = np.full((B, L), self.PAD_ID, dtype=np.int32)
+        token_len = np.zeros((B,), dtype=np.int32)
+        for i, it in enumerate(items):
+            token_id[i, : it["token_len"]] = it["token_id"]
+            token_len[i] = it["token_len"]
+
+        return {
+            "id": [it["id"] for it in items],
+            "wav": [it["wav"] for it in items],
+            "text": [it["text"] for it in items],
+            "wav_array": wav_array,
+            "wav_len": wav_len,
+            "token_id": token_id,
+            "token_len": token_len,
+            "n_utts": len(items),
+        }
+
+    def batch_indices(self, shuffle: bool = False, seed: int = 0
+                      ) -> List[List[int]]:
+        """Plain dataset: one utterance per batch (decode-style iteration)."""
+        idx = list(range(len(self.train_set)))
+        if shuffle:
+            random.Random(seed).shuffle(idx)
+        return [[i] for i in idx]
+
+    def batches(self, shuffle: bool = False, seed: int = 0,
+                num_workers: int = 4, prefetch: int = 4,
+                process_index: int = 0, process_count: int = 1
+                ) -> Iterator[Dict]:
+        """Iterate host batches with threaded read-ahead.
+
+        Multi-host data parallelism shards batch order round-robin by
+        ``process_index`` (the jit data axis shards within a host's batch).
+        """
+        order = self.batch_indices(shuffle=shuffle, seed=seed)
+        order = order[process_index::process_count]
+        if not order:
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+        stop = object()
+
+        def worker(sub_order, out_q):
+            for group in sub_order:
+                items = [self.train_set[i] for i in group]
+                out_q.put(self.merge_batch(items))
+            out_q.put(stop)
+
+        n_workers = max(1, min(num_workers, len(order)))
+        qs = [queue_mod.Queue(maxsize=max(1, prefetch // n_workers))
+              for _ in range(n_workers)]
+        threads = []
+        for w in range(n_workers):
+            t = threading.Thread(
+                target=worker, args=(order[w::n_workers], qs[w]), daemon=True)
+            t.start()
+            threads.append(t)
+        # round-robin drain preserves global batch order
+        done = [False] * n_workers
+        pos = 0
+        served = 0
+        while served < len(order):
+            w = pos % n_workers
+            pos += 1
+            if done[w]:
+                continue
+            item = qs[w].get()
+            if item is stop:
+                done[w] = True
+                continue
+            served += 1
+            yield item
+        for t in threads:
+            t.join()
+
+
+class BatchAudioDataSet(AudioDataSet):
+    """Dataset-level dynamic batching (dataset.py:234-312)."""
+
+    def __init__(self, wav_list=None, text_list=None, feats_list=None,
+                 tokenizer=None, audio_trans=("fbank:80",), feats_trans=None,
+                 pad_audio=0, pad_feats=0,
+                 batch_sort=True, batch_size=32, batch_duration=320,
+                 batch_bin=32 * 500 * 80, batch_type="size",
+                 max_duration=30, min_duration=0.3, text_freq=0.08,
+                 min_token=0, max_token=5000,
+                 sample_bucket: int = SAMPLE_RATE, token_bucket: int = 8,
+                 batch_pad_multiple: int = 1, shuffle_seed: int = 1):
+        super().__init__(wav_list, text_list, feats_list, tokenizer,
+                         audio_trans, feats_trans, pad_audio, pad_feats,
+                         sample_bucket, token_bucket, batch_pad_multiple)
+        self.batch_type = batch_type
+        self.batch_size = batch_size
+        self.batch_bin = batch_bin
+        self.batch_duration = batch_duration
+        self.max_duration = max_duration
+        self.min_duration = min_duration
+        self.text_freq = text_freq
+        self.min_token = min_token
+        self.max_token = max_token
+        self.batch_sort = batch_sort
+        self.shuffle_seed = shuffle_seed
+        self._groups: List[List[int]] = []
+
+    def check_dataset(self) -> None:
+        super().check_dataset()
+        rng = random.Random(self.shuffle_seed)
+        rng.shuffle(self.train_set)  # decorrelate sources before stable sort
+        if self.batch_sort:
+            self.train_set.sort(
+                key=lambda x: x["wav_len"] * SAMPLE_RATE + x["token_len"])
+        before = len(self.train_set)
+        self.train_set = [
+            x for x in self.train_set
+            if (self.min_duration <= x["wav_len"] <= self.max_duration
+                and self.min_token <= x["token_len"] <= self.max_token
+                and x["wav_len"] / (x["token_len"] + 0.1) > self.text_freq)]
+        if before != len(self.train_set):
+            logging.info("filtered %d → %d utterances", before,
+                         len(self.train_set))
+        if self.batch_type == "size":
+            self._groups = [list(range(i, min(i + self.batch_size,
+                                              len(self.train_set))))
+                            for i in range(0, len(self.train_set),
+                                           self.batch_size)]
+        elif self.batch_type == "duration":
+            self._groups = []
+            cur: List[int] = []
+            total = 0.0
+            for i, item in enumerate(self.train_set):
+                cur.append(i)
+                total += item["wav_len"]
+                if total >= self.batch_duration:
+                    self._groups.append(cur)
+                    cur, total = [], 0.0
+            if cur:
+                self._groups.append(cur)
+        else:
+            raise ValueError(f"unknown batch_type {self.batch_type}")
+
+    def __len__(self) -> int:
+        return len(self._groups)
+
+    def __getitem__(self, index):
+        return [self.train_set[i] for i in self._groups[index]]
+
+    def batch_indices(self, shuffle: bool = False, seed: int = 0
+                      ) -> List[List[int]]:
+        groups = list(self._groups)
+        if shuffle:
+            random.Random(seed).shuffle(groups)
+        return groups
