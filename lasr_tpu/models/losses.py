@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lasr_tpu.ops.ctc import ctc_labels_from_padded, ctc_loss
+from lasr_tpu.ops.ctc import (ctc_forward_logprob, ctc_labels_from_padded,
+                              ctc_loss)
 from lasr_tpu.utils.text import edit_distance
 
 
@@ -37,12 +38,21 @@ class LabelSmoothingLoss:
         self.smoothing = smoothing
         self.normalize_length = normalize_length
 
-    def __call__(self, x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, L, V) logits; target: (B, L) ids padded with padding_idx."""
+    def __call__(self, x: jnp.ndarray, target: jnp.ndarray,
+                 utt_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (B, L, V) logits; target: (B, L) ids padded with padding_idx.
+
+        ``utt_valid``: optional (B,) bool — rows marked False are excluded
+        entirely and the batch denominator counts only valid rows (used for
+        the shape-bucketing dummy rows; with none present this reduces to
+        the reference's /B).
+        """
         B = x.shape[0]
         V = self.size
         logp = jax.nn.log_softmax(x, axis=-1)
         ignore = target == self.padding_idx
+        if utt_valid is not None:
+            ignore = ignore | ~utt_valid[:, None]
         tgt = jnp.where(ignore, 0, target)
         true_dist = jnp.full(x.shape, self.smoothing / (V - 1), dtype=logp.dtype)
         true_dist = jnp.where(jax.nn.one_hot(tgt, V, dtype=bool),
@@ -51,7 +61,12 @@ class LabelSmoothingLoss:
         safe_log_true = jnp.log(jnp.maximum(true_dist, 1e-30))
         kl = true_dist * (safe_log_true - logp)
         kl = jnp.where(ignore[..., None], 0.0, kl)
-        denom = jnp.maximum(jnp.sum(~ignore), 1) if self.normalize_length else B
+        if self.normalize_length:
+            denom = jnp.maximum(jnp.sum(~ignore), 1)
+        elif utt_valid is not None:
+            denom = jnp.maximum(jnp.sum(utt_valid), 1)
+        else:
+            denom = B
         return jnp.sum(kl) / denom
 
 
@@ -76,9 +91,14 @@ class E2E_Loss:
         self.blank_id = blank_id
 
     def __call__(self, att_out, ctc_out, att_label, ctc_label, hs_len):
-        att = self.att_loss(att_out, att_label)
+        utt_valid = hs_len > 0  # dummy bucket-padding rows have hs_len == 0
+        n_valid = jnp.maximum(jnp.sum(utt_valid), 1)
+        att = self.att_loss(att_out, att_label, utt_valid)
         labels, label_len = ctc_labels_from_padded(ctc_label, self.ignore_id)
-        ctc = ctc_loss(ctc_out, hs_len, labels, label_len, blank=self.blank_id)
+        log_probs = jax.nn.log_softmax(ctc_out, axis=-1)
+        ll = ctc_forward_logprob(log_probs, hs_len, labels, label_len,
+                                 blank=self.blank_id)
+        ctc = -jnp.sum(jnp.where(utt_valid, ll, 0.0)) / n_valid
         main = (1.0 - self.rate) * att + self.rate * ctc
         return main, att, ctc
 

@@ -1,0 +1,51 @@
+"""Device mesh + sharding rules.
+
+TPU-native replacement for the reference's Lightning-DDP/NCCL story
+(SURVEY.md §2.8): a ``jax.sharding.Mesh`` over (data, model) axes; batches
+shard on ``data``, parameters replicate (round-1 parity — the reference has
+DP only) with the ``model`` axis held open for tensor-parallel partitioning
+of the stretch 1B config.  Gradient all-reduce is inserted by XLA's SPMD
+partitioner and rides ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"mesh {data}x{model} needs {n} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put array leaves of a host batch with batch-dim sharding."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1:
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out

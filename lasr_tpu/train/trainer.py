@@ -1,0 +1,363 @@
+"""The jit + mesh data-parallel trainer.
+
+TPU-native replacement for the reference's PyTorch-Lightning driver
+(``bin/train_lighting.py:13-126`` LightModelFace + ``pl.Trainer``): one
+jitted train step fuses the on-device frontend (fbank + SpecAugment), label
+packing, model forward, joint loss, gradient clipping (global-norm 5, the
+reference's ``gradient_clip_val=5``), gradient accumulation
+(``optax.MultiSteps`` = ``accumulate_grad_batches``), Adam + Noam/Warmup
+schedule, and the EMA shadow update.  Data parallelism: batches are
+device_put with a ``data``-axis NamedSharding over the mesh and XLA's SPMD
+partitioner inserts the gradient all-reduce over ICI — no NCCL, no process
+forking.
+
+Checkpointing (orbax) mirrors the reference's two ModelCheckpoint callbacks
+(train_lighting.py:82-102): last-K by step and best-K by ``valid_loss_main``;
+``hparams.yaml`` (the four config dicts) is written into the experiment dir
+so the decode driver can rebuild the model (decode reads it as its
+train_config, example/asr_en/run.sh:22).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+from flax import struct
+
+from lasr_tpu.data.frontend import DeviceFrontend, pack_s2s
+from lasr_tpu.data.tokenizer import BaseTokenizer
+from lasr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from lasr_tpu.train.ema import ema_init, ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Any
+
+
+class Trainer:
+    def __init__(self, model, criterion, optimizer_tx, frontend: DeviceFrontend,
+                 tokenizer: Optional[BaseTokenizer] = None,
+                 exp_dir: Optional[str] = None,
+                 schedule=None, mesh=None,
+                 use_ema: bool = False, ema_decay: float = 0.9999,
+                 grad_clip: float = 5.0, acc_grads: int = 1,
+                 seed: int = 0, log_interval: int = 50,
+                 checkpoint_keep: int = 10):
+        self.model = model
+        self.criterion = criterion
+        self.frontend = frontend
+        self.tokenizer = tokenizer
+        self.exp_dir = exp_dir
+        self.schedule = schedule
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.use_ema = use_ema
+        self.ema_decay = ema_decay
+        self.acc_grads = acc_grads
+        self.seed = seed
+        self.log_interval = log_interval
+        self.checkpoint_keep = checkpoint_keep
+
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), optimizer_tx)
+        if acc_grads > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=acc_grads)
+        self.tx = tx
+
+        sos = tokenizer.ID_VALUE_SOS if tokenizer else 1
+        eos = tokenizer.ID_VALUE_EOS if tokenizer else 2
+        ignore = tokenizer.ID_VALUE_IGNORE if tokenizer else -1
+        self._pack = partial(pack_s2s, sos=sos, eos=eos, ignore=ignore)
+
+        self.rng = jax.random.PRNGKey(seed)
+        self._has_bn = False
+        self._jit_train = jax.jit(self._train_step, donate_argnums=0)
+        self._jit_valid = jax.jit(self._valid_step)
+        self._metrics_buf = []
+        self._mgr_last = None
+        self._mgr_best = None
+
+    # ---- state ----
+
+    def init_state(self, sample_batch: Dict) -> TrainState:
+        wav = jnp.asarray(sample_batch["wav_array"][:1])
+        wav_len = jnp.asarray(sample_batch["wav_len"][:1])
+        tok = jnp.asarray(sample_batch["token_id"][:1])
+        tok_len = jnp.asarray(sample_batch["token_len"][:1])
+        feats, feat_len = self.frontend(wav, wav_len)
+        ys_in, _, _ = self._pack(tok, tok_len)
+        variables = self.model.init(jax.random.PRNGKey(self.seed), feats,
+                                    feat_len, ys_in)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._has_bn = "batch_stats" in variables
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            ema=ema_init(params) if self.use_ema else None)
+        return jax.device_put(state, replicated(self.mesh))
+
+    def param_count(self, state: TrainState) -> int:
+        return sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+
+    # ---- steps ----
+
+    def _apply_model(self, params, batch_stats, feats, feat_len, ys_in,
+                     dropout_key=None, train=False):
+        variables = {"params": params}
+        if self._has_bn:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(deterministic=not train)
+        if train:
+            kwargs["rngs"] = {"dropout": dropout_key}
+        if train and self._has_bn:
+            out, mutated = self.model.apply(variables, feats, feat_len, ys_in,
+                                            mutable=["batch_stats"], **kwargs)
+            return out, mutated["batch_stats"]
+        out = self.model.apply(variables, feats, feat_len, ys_in, **kwargs)
+        return out, batch_stats
+
+    def _train_step(self, state: TrainState, wav, wav_len, token_id,
+                    token_len, rng):
+        step_key = jax.random.fold_in(rng, state.step)
+        k_spec, k_drop = jax.random.split(step_key)
+        feats, feat_len = self.frontend(wav, wav_len, key=k_spec, train=True)
+        ys_in, att_label, ctc_label = self._pack(token_id, token_len)
+
+        def loss_fn(params):
+            out, new_bs = self._apply_model(params, state.batch_stats, feats,
+                                            feat_len, ys_in, k_drop, train=True)
+            data = dict(out)
+            data["att_label"] = att_label
+            data["ctc_label"] = ctc_label
+            metrics = self.criterion.train_forward(data)
+            return metrics["loss_main"], (metrics, new_bs)
+
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(state.ema, new_params, self.ema_decay) \
+            if self.use_ema else None
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt,
+                                  ema=new_ema)
+        return new_state, metrics
+
+    def _valid_step(self, state: TrainState, wav, wav_len, token_id, token_len):
+        params = state.ema["shadow"] if self.use_ema else state.params
+        feats, feat_len = self.frontend(wav, wav_len)
+        ys_in, att_label, ctc_label = self._pack(token_id, token_len)
+        out, _ = self._apply_model(params, state.batch_stats, feats, feat_len,
+                                   ys_in)
+        data = dict(out)
+        data["att_label"] = att_label
+        data["ctc_label"] = ctc_label
+        metrics = self.criterion.valid_forward(data)
+        n = jnp.maximum(jnp.sum(wav_len > 0), 1)
+        metrics["n_utts"] = n
+        return metrics
+
+    def train_step(self, state: TrainState, batch: Dict):
+        sb = shard_batch(self.mesh, batch)
+        return self._jit_train(state, sb["wav_array"], sb["wav_len"],
+                               sb["token_id"], sb["token_len"], self.rng)
+
+    def valid_step(self, state: TrainState, batch: Dict):
+        sb = shard_batch(self.mesh, batch)
+        return self._jit_valid(state, sb["wav_array"], sb["wav_len"],
+                               sb["token_id"], sb["token_len"])
+
+    # ---- checkpointing ----
+
+    def _managers(self):
+        import orbax.checkpoint as ocp
+        if self._mgr_last is None:
+            root = os.path.join(os.path.abspath(self.exp_dir), "checkpoints")
+            self._mgr_last = ocp.CheckpointManager(
+                os.path.join(root, "last"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.checkpoint_keep))
+            self._mgr_best = ocp.CheckpointManager(
+                os.path.join(root, "best"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.checkpoint_keep,
+                    best_fn=lambda m: m["valid_loss_main"], best_mode="min"))
+        return self._mgr_last, self._mgr_best
+
+    def save_checkpoint(self, state: TrainState,
+                        valid_metrics: Optional[Dict] = None):
+        import orbax.checkpoint as ocp
+        mgr_last, mgr_best = self._managers()
+        step = int(state.step)
+        tree = jax.device_get(_state_to_tree(state))
+        mgr_last.save(step, args=ocp.args.StandardSave(tree))
+        if valid_metrics is not None:
+            mgr_best.save(step, args=ocp.args.StandardSave(tree),
+                          metrics={"valid_loss_main":
+                                   float(valid_metrics["loss_main"])})
+        mgr_last.wait_until_finished()
+        mgr_best.wait_until_finished()
+
+    def restore_checkpoint(self, state: TrainState, path: Optional[str] = None,
+                           step: Optional[int] = None) -> TrainState:
+        import orbax.checkpoint as ocp
+        template = jax.device_get(_state_to_tree(state))
+        if path is not None:
+            with ocp.StandardCheckpointer() as ckptr:
+                tree = ckptr.restore(os.path.abspath(path),
+                                     target=template)
+        else:
+            mgr_last, _ = self._managers()
+            step = step if step is not None else mgr_last.latest_step()
+            tree = mgr_last.restore(step, args=ocp.args.StandardRestore(template))
+        return jax.device_put(_tree_to_state(tree, state),
+                              replicated(self.mesh))
+
+    def save_hparams(self, configs: Dict) -> None:
+        os.makedirs(self.exp_dir, exist_ok=True)
+        with open(os.path.join(self.exp_dir, "hparams.yaml"), "w") as f:
+            yaml.safe_dump(configs, f, sort_keys=False, allow_unicode=True)
+
+    # ---- fit loop ----
+
+    def fit(self, state: TrainState, train_dataset, valid_dataset=None,
+            num_epochs: int = 1, num_workers: int = 4,
+            save_checkpoints: bool = True) -> TrainState:
+        metrics_path = os.path.join(self.exp_dir, "metrics.jsonl") \
+            if self.exp_dir else None
+        if metrics_path:
+            os.makedirs(self.exp_dir, exist_ok=True)
+        proc_idx = jax.process_index()
+        proc_cnt = jax.process_count()
+        t0 = time.time()
+        for epoch in range(num_epochs):
+            pending = []
+            for batch in train_dataset.batches(
+                    shuffle=True, seed=self.seed + epoch,
+                    num_workers=num_workers,
+                    process_index=proc_idx, process_count=proc_cnt):
+                state, metrics = self.train_step(state, batch)
+                pending.append((state.step, metrics, batch["n_utts"]))
+                if len(pending) >= self.log_interval:
+                    self._flush_metrics(pending, epoch, metrics_path, t0)
+                    pending = []
+            if pending:
+                self._flush_metrics(pending, epoch, metrics_path, t0)
+            valid_metrics = None
+            if valid_dataset is not None:
+                valid_metrics = self.validate(state, valid_dataset)
+                logging.info("epoch %d valid: %s", epoch,
+                             {k: round(float(v), 4)
+                              for k, v in valid_metrics.items()})
+                if metrics_path:
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps(
+                            {"epoch": epoch, "step": int(state.step),
+                             **{"valid_" + k: float(v)
+                                for k, v in valid_metrics.items()}}) + "\n")
+            if save_checkpoints and self.exp_dir:
+                self.save_checkpoint(state, valid_metrics)
+        return state
+
+    def validate(self, state: TrainState, valid_dataset,
+                 num_workers: int = 2) -> Dict[str, float]:
+        totals: Dict[str, float] = {}
+        n_batches = 0
+        for batch in valid_dataset.batches(num_workers=num_workers):
+            metrics = self.valid_step(state, batch)
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                if k == "n_utts":
+                    continue
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n_batches += 1
+        return {k: v / max(n_batches, 1) for k, v in totals.items()}
+
+    def _flush_metrics(self, pending, epoch, metrics_path, t0):
+        # one host sync per flush, not per step
+        last_step, last_metrics, _ = pending[-1]
+        host = jax.device_get(last_metrics)
+        step = int(jax.device_get(last_step))
+        utts = sum(n for _, _, n in pending)
+        line = {"epoch": epoch, "step": step,
+                "utts_cum": utts, "wall_s": round(time.time() - t0, 2),
+                **{k: float(v) for k, v in host.items()}}
+        if self.schedule is not None:
+            line["lr"] = float(self.schedule(
+                np.maximum(step // max(self.acc_grads, 1) - 1, 0)))
+        logging.info("train %s", {k: (round(v, 4) if isinstance(v, float)
+                                      else v) for k, v in line.items()})
+        if metrics_path:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(line) + "\n")
+
+
+def _state_to_tree(state: TrainState) -> Dict:
+    tree = {"step": state.step, "params": state.params,
+            "opt_state": state.opt_state}
+    if state.batch_stats:
+        tree["batch_stats"] = state.batch_stats
+    if state.ema is not None:
+        tree["ema"] = state.ema
+    return tree
+
+
+def _tree_to_state(tree: Dict, template: TrainState) -> TrainState:
+    return template.replace(
+        step=jnp.asarray(tree["step"]),
+        params=tree["params"],
+        opt_state=tree["opt_state"],
+        batch_stats=tree.get("batch_stats", template.batch_stats),
+        ema=tree.get("ema", template.ema))
+
+
+def average_checkpoints(directory: str, ids: str = "last", num: int = 5
+                        ) -> Dict:
+    """Average the params (and EMA) trees of the newest/best K checkpoints
+    (reference average_checkpoints.py:7-38).
+
+    ``directory`` is a CheckpointManager root (…/checkpoints/last or /best);
+    picks the ``num`` highest steps (ids='last') or relies on the best
+    manager's retention (ids='best' — best-K are the only ones kept).
+    """
+    import orbax.checkpoint as ocp
+    with ocp.CheckpointManager(os.path.abspath(directory)) as mgr:
+        steps = sorted(mgr.all_steps(), reverse=True)[:num]
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        avg = None
+        for s in steps:
+            tree = mgr.restore(s)
+            tree = {k: tree[k] for k in ("params", "ema") if k in tree}
+            if avg is None:
+                avg = jax.tree.map(lambda x: np.asarray(x, dtype=np.float64)
+                                   if np.issubdtype(np.asarray(x).dtype,
+                                                    np.floating)
+                                   else np.asarray(x), tree)
+            else:
+                avg = jax.tree.map(
+                    lambda a, x: a + x if np.issubdtype(a.dtype, np.floating)
+                    else a, avg, tree)
+        k = len(steps)
+        avg = jax.tree.map(
+            lambda a: (a / k).astype(np.float32)
+            if np.issubdtype(a.dtype, np.floating) else a // k, avg)
+        return avg
