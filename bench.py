@@ -1,0 +1,103 @@
+"""Benchmark harness: baseline-recipe Conformer train throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The benchmarked step is the full production train step — on-device fbank +
+SpecAugment frontend, Conformer-12x320x8h encoder / 6x320 decoder (the
+reference recipe model, example/asr_en/conf/config_baseline.yaml:1-23),
+joint CTC/attention loss, clip(5), Adam+Noam — on a synthetic batch shaped
+like the recipe's 500 s-audio duration batches (32 utts x ~15 s).
+
+The reference publishes no throughput numbers (BASELINE.md), so the first
+recorded value establishes the baseline; ``vs_baseline`` is measured against
+BASELINE_UTTS_PER_SEC below once set.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# First measured value on the driver's TPU (round 1) becomes the baseline.
+BASELINE_UTTS_PER_SEC = None  # set after round-1 measurement
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lasr_tpu.data.frontend import DeviceFrontend
+    from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
+    from lasr_tpu.models.losses import E2E_Loss
+    from lasr_tpu.parallel.mesh import make_mesh
+    from lasr_tpu.train.optimizer import Noam
+    from lasr_tpu.train.trainer import Trainer
+
+    odim = 5000  # BPE-5000 vocab (reference en recipe)
+    model = E2E_Conformer_CTC(
+        idim=80, odim=odim,
+        encoder_attention_dim=320, encoder_attention_heads=8,
+        encoder_linear_units=2048, encoder_num_blocks=12,
+        decoder_attention_dim=320, decoder_attention_heads=8,
+        decoder_linear_units=2048, decoder_num_block=6,
+        encoder_pos_enc_layer_type="rel_pos",
+        encoder_selfattention_layer_type="rel_selfattn",
+        dtype=jnp.bfloat16)
+    criterion = E2E_Loss(size=odim, padding_idx=-1, smoothing=0.1, rate=0.3)
+    frontend = DeviceFrontend(["norm", "fbank:80", "specaug"])
+    noam = Noam(model_size=320, factor=3.0, warm_step=25000)
+    mesh = make_mesh(data=1, devices=jax.devices()[:1])
+    trainer = Trainer(model, criterion, noam.make(), frontend, mesh=mesh,
+                      log_interval=10**9)
+
+    # synthetic 500s batch: 32 utts x 15.6s, ~60 BPE tokens each
+    B, secs, L = 32, 15.6, 64
+    S = int(secs * 16000)
+    rng = np.random.default_rng(0)
+    batch = {
+        "wav_array": (0.1 * rng.standard_normal((B, S))).astype(np.float32),
+        "wav_len": np.full((B,), S, np.int32),
+        "token_id": rng.integers(6, odim, (B, L)).astype(np.int32),
+        "token_len": np.full((B,), L, np.int32),
+        "n_utts": B,
+    }
+
+    state = trainer.init_state(batch)
+    n_params = trainer.param_count(state)
+
+    # warmup (compile + 2 steps)
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+    jax.block_until_ready(metrics["loss_main"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer.train_step(state, batch)
+    jax.block_until_ready(metrics["loss_main"])
+    dt = time.perf_counter() - t0
+
+    utts_per_sec = B * iters / dt
+    audio_secs_per_sec = utts_per_sec * secs
+    vs = (utts_per_sec / BASELINE_UTTS_PER_SEC
+          if BASELINE_UTTS_PER_SEC else 1.0)
+    print(json.dumps({
+        "metric": "conformer_baseline_train_utts_per_sec_per_chip",
+        "value": round(utts_per_sec, 3),
+        "unit": "utts/s",
+        "vs_baseline": round(vs, 3),
+        "detail": {
+            "audio_secs_per_sec": round(audio_secs_per_sec, 1),
+            "step_ms": round(1000 * dt / iters, 1),
+            "params": n_params,
+            "batch_utts": B,
+            "batch_audio_s": round(B * secs, 1),
+            "dtype": "bfloat16",
+            "device": str(jax.devices()[0]),
+            "loss": float(jax.device_get(metrics["loss_main"])),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Training CLI — TPU-native replacement for ``bin/train_lighting.py``.
+
+Same flag surface as the reference (train_lighting.py:130-144):
+``-exp_dir -config -num_epochs -fp16 -ema -acc_grads -resume_ckpt`` (the
+``-num_gpu`` knob becomes ``-num_devices``: size of the mesh data axis).
+Same YAML schema: model_config / opti_config(+scheduler) / criterion_config /
+tokenizer_config / train_data_config / valid_data_config, each a
+``{name, kwargs}`` block, with odim/size/padding_idx injected from the
+tokenizer (train_lighting.py:162-168).
+"""
+
+import argparse
+import logging
+import sys
+
+import yaml
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-exp_dir", default="exp", type=str)
+    parser.add_argument("-config", required=True)
+    parser.add_argument("-num_devices", default=-1, type=int,
+                        help="mesh data-axis size; -1 = all local devices")
+    parser.add_argument("-num_epochs", default=50, type=int)
+    parser.add_argument("-fp16", default=32, type=int,
+                        help="32 = float32 compute; 16 = bfloat16 compute")
+    parser.add_argument("-ema", default=0, type=int,
+                        help="1 = keep an EMA shadow of the params")
+    parser.add_argument("-acc_grads", default=1, type=int)
+    parser.add_argument("-resume_ckpt", default=None, type=str)
+    parser.add_argument("-num_workers", default=8, type=int)
+    parser.add_argument("-seed", default=0, type=int)
+    parser.add_argument("-log_interval", default=50, type=int)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from lasr_tpu.data.frontend import DeviceFrontend
+    from lasr_tpu.parallel.mesh import make_mesh
+    from lasr_tpu.train.optimizer import build_optimizer
+    from lasr_tpu.train.trainer import Trainer
+    from lasr_tpu.utils.registry import BaseConfig
+
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+
+    train_data_config = config["train_data_config"]
+    valid_data_config = config["valid_data_config"]
+    model_config = config["model_config"]
+    opt_config = config["opti_config"]
+    criterion_config = config["criterion_config"]
+    tokenizer_config = config["tokenizer_config"]
+
+    tokenizer = BaseConfig(**tokenizer_config).generateExample()
+
+    n_dev = len(jax.devices()) if args.num_devices < 0 else args.num_devices
+    mesh = make_mesh(data=n_dev, devices=jax.devices()[:n_dev])
+
+    # batch dim must divide over the mesh data axis
+    for dc in (train_data_config, valid_data_config):
+        dc.setdefault("kwargs", {}).setdefault("batch_pad_multiple", n_dev)
+    train_dataset = BaseConfig(**train_data_config).generateExample(
+        tokenizer=tokenizer)
+    valid_dataset = BaseConfig(**valid_data_config).generateExample(
+        tokenizer=tokenizer)
+
+    output_dim = tokenizer.dict_size()
+    if "odim" in model_config["kwargs"]:
+        model_config["kwargs"]["odim"] = output_dim
+    if "size" in criterion_config["kwargs"]:
+        criterion_config["kwargs"]["size"] = output_dim
+    if "padding_idx" in criterion_config["kwargs"]:
+        criterion_config["kwargs"]["padding_idx"] = tokenizer.ID_VALUE_IGNORE
+
+    dtype = jnp.bfloat16 if args.fp16 == 16 else jnp.float32
+    model = BaseConfig(**model_config).generateExample(dtype=dtype)
+    criterion = BaseConfig(**criterion_config).generateExample()
+    optimizer_tx, schedule = build_optimizer(opt_config)
+
+    frontend = DeviceFrontend(train_dataset.audio_trans)
+
+    trainer = Trainer(
+        model, criterion, optimizer_tx, frontend, tokenizer=tokenizer,
+        exp_dir=args.exp_dir, schedule=schedule, mesh=mesh,
+        use_ema=args.ema == 1, acc_grads=args.acc_grads, seed=args.seed,
+        log_interval=args.log_interval)
+
+    logging.info("loading + checking data")
+    train_dataset.load_check_data()
+    valid_dataset.load_check_data()
+    logging.info("train batches: %d, valid batches: %d",
+                 len(train_dataset.batch_indices()),
+                 len(valid_dataset.batch_indices()))
+
+    sample = next(iter(train_dataset.batches(num_workers=1)))
+    state = trainer.init_state(sample)
+    logging.info("model parameters: %.2fM", trainer.param_count(state) / 1e6)
+
+    trainer.save_hparams({
+        "model_config": model_config,
+        "criterion_config": criterion_config,
+        "optim_config": opt_config,
+        "tokenizer_config": tokenizer_config,
+    })
+
+    if args.resume_ckpt:
+        state = trainer.restore_checkpoint(state, path=args.resume_ckpt)
+        logging.info("resumed from %s at step %d", args.resume_ckpt,
+                     int(state.step))
+
+    state = trainer.fit(state, train_dataset, valid_dataset,
+                        num_epochs=args.num_epochs,
+                        num_workers=args.num_workers)
+    logging.info("done at step %d", int(state.step))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

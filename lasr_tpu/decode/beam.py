@@ -1,0 +1,341 @@
+"""Joint CTC/attention beam search — batched, fixed-shape, on-device.
+
+TPU-native re-architecture of the reference production decoder
+(``lasr/decode/ctc_att_decoder.py:163-334`` + the Watanabe Algorithm-2 CTC
+prefix scorer ``lasr/utils/ctc_prefix_score.py:110-187``).  The reference is
+a per-utterance python loop over dict hypotheses with a numpy DP per
+candidate (a GPU→CPU copy per utterance, SURVEY.md §3.2); here the whole
+batch of beams advances inside one ``lax.while_loop``:
+
+  - hypothesis state is fixed-shape arrays (tokens [B,K,Lmax], scores [B,K],
+    CTC prefix DP state r^n/r^b [B,K,T,2], per-layer decoder KV caches);
+  - each step: one cached decoder call for all B·K hyps → top-``ctc_beam``
+    attention candidates → vectorized CTC prefix recursion (scan over T for
+    all B·K·C candidates at once) → joint rescoring
+    ``(1-λ)·att + λ·Δctc`` (ctc_att_decoder.py:239-250) → global top-K with
+    eos-splitting into a fixed ended-pool;
+  - Hybrid-CTC/ATT end detection (Watanabe Eq. 50, ctc_att_decoder.py:520-552)
+    evaluated in-graph per utterance from a best-score-by-length table.
+
+Parity notes vs the reference loop:
+  - candidate prescreen excludes the blank row (``topk(att[:,1:])+1``);
+  - CTC rescoring uses the increment vs the hyp's previous prefix score;
+  - an eos candidate scores the prefix's complete-sequence CTC probability
+    (r_sum at the last valid frame, ctc_prefix_score.py:180-182);
+  - at ``i == maxlen-1`` the step expands normally and then force-appends a
+    free eos to every surviving hypothesis (ctc_att_decoder.py:289-293);
+  - maxlen is the per-utterance encoder length (maxlenratio == 0 default).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_ZERO = -1e10
+D_END = -10.0
+M_END = 3
+
+
+@dataclass
+class BeamHypotheses:
+    """Host-side decode result for one batch."""
+    tokens: np.ndarray   # (B, nbest, Lmax) incl. sos/eos, -1 padded
+    lengths: np.ndarray  # (B, nbest)
+    scores: np.ndarray   # (B, nbest)
+
+    def best_ids(self, b: int, strip: bool = True) -> List[int]:
+        n = int(self.lengths[b, 0])
+        seq = self.tokens[b, 0, :n].tolist()
+        return seq[1:-1] if strip else seq
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, LOG_ZERO)
+    out = m_safe + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    return jnp.where(m <= LOG_ZERO, LOG_ZERO, out)
+
+
+def _ctc_initial_state(lpz: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """(r^n, r^b) of the empty prefix: cumulative blank path. (B, T, 2)."""
+    B, T, _ = lpz.shape
+    r_b = jnp.cumsum(lpz[:, :, blank], axis=1)
+    r_n = jnp.full((B, T), LOG_ZERO)
+    return jnp.stack([r_n, r_b], axis=-1)
+
+
+def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank):
+    """Vectorized CTCPrefixScore.__call__ over (B, K, C) candidates.
+
+    lpz: (B, T, V) log-probs with the blank column zeroed past each
+    utterance (so trailing frames are free blanks); r_prev: (B, K, T, 2);
+    last_tok: (B, K); cand: (B, K, C); out_len: scalar current prefix
+    length (uniform — every live hyp has been extended once per step).
+
+    Returns (psi (B,K,C) prefix scores, r_new (B,K,C,T,2) next DP states).
+    """
+    B, T, V = lpz.shape
+
+    # xs[b,k,c,t] = lpz[b,t,cand[b,k,c]]
+    xs = jnp.take_along_axis(
+        lpz[:, None, None], cand[:, :, :, None, None].astype(jnp.int32),
+        axis=-1)[..., 0]                                    # (B,K,C,T)
+
+    r_sum = _logaddexp(r_prev[..., 0], r_prev[..., 1])      # (B,K,T)
+    same = cand == last_tok[:, :, None]                     # (B,K,C)
+    log_phi = jnp.where(same[..., None], r_prev[:, :, None, :, 1],
+                        r_sum[:, :, None, :])               # (B,K,C,T)
+    log_phi = jnp.where(out_len == 0, r_sum[:, :, None, :], log_phi)
+
+    blank_lp = lpz[:, :, blank]                             # (B,T)
+    start = jnp.maximum(out_len, 1)
+
+    r0_n = jnp.where(out_len == 0, xs[..., 0], LOG_ZERO)    # (B,K,C)
+    r0_b = jnp.full_like(r0_n, LOG_ZERO)
+    psi0 = r0_n
+
+    def body(carry, t):
+        rn, rb, psi = carry
+        phi_tm1 = jax.lax.dynamic_index_in_dim(log_phi, t - 1, axis=3,
+                                               keepdims=False)
+        xs_t = jax.lax.dynamic_index_in_dim(xs, t, axis=3, keepdims=False)
+        blk_t = jax.lax.dynamic_index_in_dim(blank_lp, t, axis=1,
+                                             keepdims=False)
+        new_rn = _logaddexp(rn, phi_tm1) + xs_t
+        new_rb = _logaddexp(rn, rb) + blk_t[:, None, None]
+        new_psi = _logaddexp(psi, phi_tm1 + xs_t)
+        active = t >= start
+        rn = jnp.where(active, new_rn, rn)
+        rb = jnp.where(active, new_rb, rb)
+        psi = jnp.where(active, new_psi, psi)
+        return (rn, rb, psi), (rn, rb)
+
+    (_, _, psi), (rn_seq, rb_seq) = jax.lax.scan(
+        body, (r0_n, r0_b, psi0), jnp.arange(1, T))
+    rn_full = jnp.concatenate([r0_n[None], rn_seq], axis=0)  # (T,B,K,C)
+    rb_full = jnp.concatenate([r0_b[None], rb_seq], axis=0)
+    r_new = jnp.stack([jnp.moveaxis(rn_full, 0, -1),
+                       jnp.moveaxis(rb_full, 0, -1)], axis=-1)
+    return psi, r_new
+
+
+class CTCAttBeamDecoder:
+    """Batched joint CTC/attention beam search over a model's decode hooks.
+
+    Constructor parameters mirror the reference ``CTC_ATT_Decoder``
+    (ctc_att_decoder.py:146-161).
+    """
+
+    def __init__(self, model, variables, sos: int = 1, eos: int = 2,
+                 beam: int = 10, ctc_beam: int = 15, nbest: int = 1,
+                 ctc_weight: float = 0.5, penalty: float = 0.0,
+                 lm_weight: float = 0.0, blank: int = 0,
+                 maxlenratio: float = 0.0, minlenratio: float = 0.0):
+        if lm_weight:
+            raise NotImplementedError(
+                "shallow LM fusion lands with the RNNLM stack")
+        self.model = model
+        self.variables = variables
+        self.sos, self.eos, self.blank = sos, eos, blank
+        self.beam, self.ctc_beam, self.nbest = beam, ctc_beam, nbest
+        self.ctc_weight = ctc_weight
+        self.penalty = penalty
+        self.maxlenratio = maxlenratio
+        self.minlenratio = minlenratio
+        self._jit_search = jax.jit(self._search, static_argnames=("max_len",))
+
+    def _encode(self, feats, feat_len):
+        hs, hs_len = self.model.apply(self.variables, feats, feat_len,
+                                      method=self.model.encode)
+        lpz = jax.nn.log_softmax(
+            self.model.apply(self.variables, hs,
+                             method=self.model.ctc_logits), axis=-1)
+        return hs, hs_len, lpz
+
+    def __call__(self, feats, feat_len) -> BeamHypotheses:
+        """feats: (B, T_in, D); feat_len: (B,). Encoder + beam search."""
+        hs, hs_len, lpz = self._encode(jnp.asarray(feats),
+                                       jnp.asarray(feat_len))
+        max_len = int(hs.shape[1]) if self.maxlenratio == 0.0 else max(
+            1, int(self.maxlenratio * hs.shape[1]))
+        out = self.search(hs, hs_len, lpz, max_len)
+        tokens, lengths, scores = (np.asarray(x) for x in out)
+        return BeamHypotheses(tokens=tokens, lengths=lengths, scores=scores)
+
+    def search(self, hs, hs_len, lpz, max_len: int):
+        return self._jit_search(hs, hs_len, lpz, max_len=max_len)
+
+    # ---- the fixed-shape search ----
+
+    def _search(self, hs, hs_len, lpz, *, max_len: int):
+        B, T, _ = hs.shape
+        V = lpz.shape[-1]
+        K = self.beam
+        C = min(self.ctc_beam, V - 1)
+        E = 2 * K                      # ended pool size
+        Lmax = max_len + 2             # sos + tokens + final free eos
+
+        # neutralize frames past hs_len: blank is free, labels impossible
+        t_idx = jnp.arange(T)[None, :]
+        pad_t = t_idx >= hs_len[:, None]
+        lpz = jnp.where(pad_t[:, :, None], LOG_ZERO, lpz)
+        lpz = lpz.at[:, :, self.blank].set(
+            jnp.where(pad_t, 0.0, lpz[:, :, self.blank]))
+
+        mem_k, mem_v = self.model.apply(
+            self.variables, hs, method=self.model.decoder_project_memory)
+        # beam-expand memory: (layers, B*K, T, H, dk); flat index = b*K + k
+        mem_k = jnp.repeat(mem_k, K, axis=1)
+        mem_v = jnp.repeat(mem_v, K, axis=1)
+        mem_mask = jnp.repeat((t_idx < hs_len[:, None])[:, None, :], K, axis=0)
+
+        cache = self.model.apply(self.variables, B * K, Lmax,
+                                 method=self.model.decoder_init_cache)
+
+        tokens = jnp.full((B, K, Lmax), -1, jnp.int32).at[:, :, 0].set(self.sos)
+        score = jnp.broadcast_to(
+            jnp.where(jnp.arange(K) == 0, 0.0, LOG_ZERO)[None, :],
+            (B, K)).astype(jnp.float32)
+        ctc_prev = jnp.zeros((B, K), jnp.float32)
+        r_state = jnp.broadcast_to(
+            _ctc_initial_state(lpz, self.blank)[:, None], (B, K, T, 2))
+        last_tok = jnp.full((B, K), self.sos, jnp.int32)
+        alive = jnp.zeros((B, K), bool).at[:, 0].set(True)
+
+        ended_score = jnp.full((B, E), LOG_ZERO)
+        ended_len = jnp.zeros((B, E), jnp.int32)
+        ended_tok = jnp.full((B, E, Lmax), -1, jnp.int32)
+        best_by_len = jnp.full((B, Lmax + 2), LOG_ZERO)
+        row_done = jnp.zeros((B,), bool)
+        row_maxlen = jnp.minimum(hs_len, max_len)
+
+        def flat(x):
+            return x.reshape((B * K,) + x.shape[2:])
+
+        def unflat(x):
+            return x.reshape((B, K) + x.shape[1:])
+
+        state0 = (jnp.zeros((), jnp.int32), tokens, score, ctc_prev, r_state,
+                  last_tok, alive, cache, ended_score, ended_len, ended_tok,
+                  best_by_len, row_done)
+
+        def cond(state):
+            return (state[0] < max_len) & ~jnp.all(state[-1])
+
+        def step(state):
+            (i, tokens, score, ctc_prev, r_state, last_tok, alive, cache,
+             ended_score, ended_len, ended_tok, best_by_len, row_done) = state
+
+            logp, new_cache = self.model.apply(
+                self.variables, flat(last_tok), i, cache, mem_k, mem_v,
+                mem_mask, method=self.model.decoder_step)
+            att_logp = unflat(logp).astype(jnp.float32)      # (B,K,V)
+
+            # prescreen: top-C attention candidates excluding blank
+            att_nb = att_logp.at[:, :, self.blank].set(LOG_ZERO)
+            cand_att, cand_ids = jax.lax.top_k(att_nb, C)    # (B,K,C)
+
+            psi, r_cand = _ctc_prefix_step(lpz, r_state, last_tok, cand_ids,
+                                           i, self.blank)
+            r_sum_last = _logaddexp(r_state[..., -1, 0], r_state[..., -1, 1])
+            psi = jnp.where(cand_ids == self.eos, r_sum_last[..., None], psi)
+
+            joint = ((1.0 - self.ctc_weight) * cand_att
+                     + self.ctc_weight * (psi - ctc_prev[..., None]))
+            total = score[..., None] + joint                 # (B,K,C)
+            total = jnp.where(alive[..., None], total, LOG_ZERO)
+
+            # global top-K over all K*C expansions
+            top_score, top_idx = jax.lax.top_k(total.reshape(B, K * C), K)
+            parent = top_idx // C
+            sel_tok = jnp.take_along_axis(
+                cand_ids.reshape(B, K * C), top_idx, axis=1)  # (B,K)
+
+            def gsel(x, idx):
+                return jnp.take_along_axis(
+                    x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+            new_tokens = gsel(tokens, parent).at[:, :, i + 1].set(sel_tok)
+            new_ctc_prev = jnp.take_along_axis(
+                psi.reshape(B, K * C), top_idx, axis=1)
+            new_r = gsel(r_cand.reshape(B, K * C, T, 2), top_idx)
+            parent_alive = jnp.take_along_axis(alive, parent, axis=1)
+            ok = parent_alive & (top_score > LOG_ZERO / 2) & ~row_done[:, None]
+
+            is_eos = (sel_tok == self.eos) & ok
+            hyp_len = i + 2  # len(yseq) incl. sos + this token
+
+            # survivors (before the final-step free eos)
+            survive = ok & ~is_eos
+            final_step = (i == row_maxlen - 1)[:, None]       # (B,1)
+
+            # final-step free eos append to survivors (reference :289-293)
+            forced = survive & final_step
+            forced_tok = new_tokens.at[:, :, i + 2].set(
+                jnp.where(forced, self.eos, new_tokens[:, :, i + 2]))
+            new_tokens = forced_tok
+
+            # pool insertion: natural enders at len i+2, forced at len i+3
+            nat_score = jnp.where(is_eos, top_score, LOG_ZERO)
+            frc_score = jnp.where(forced, top_score, LOG_ZERO)
+            pool_score = jnp.concatenate([ended_score, nat_score, frc_score], 1)
+            pool_len = jnp.concatenate(
+                [ended_len,
+                 jnp.full((B, K), hyp_len, jnp.int32),
+                 jnp.full((B, K), hyp_len + 1, jnp.int32)], 1)
+            pool_tok = jnp.concatenate([ended_tok, new_tokens, new_tokens], 1)
+            keep_score, keep_idx = jax.lax.top_k(pool_score, E)
+            ended_score = keep_score
+            ended_len = jnp.take_along_axis(pool_len, keep_idx, axis=1)
+            ended_tok = jnp.take_along_axis(pool_tok, keep_idx[..., None],
+                                            axis=1)
+
+            # best-score-by-length table (end detection keys off len(yseq))
+            nat_best = jnp.max(nat_score, axis=1)
+            frc_best = jnp.max(frc_score, axis=1)
+            best_by_len = best_by_len.at[:, hyp_len].set(
+                jnp.maximum(best_by_len[:, hyp_len], nat_best))
+            best_by_len = best_by_len.at[:, hyp_len + 1].set(
+                jnp.maximum(best_by_len[:, hyp_len + 1], frc_best))
+
+            new_alive = survive & ~final_step
+            new_score = jnp.where(new_alive, top_score, LOG_ZERO)
+
+            # reorder decoder KV cache by flattened parent index
+            flat_parent = (parent + jnp.arange(B)[:, None] * K).reshape(-1)
+            new_cache = {"k": jnp.take(new_cache["k"], flat_parent, axis=1),
+                         "v": jnp.take(new_cache["v"], flat_parent, axis=1)}
+
+            # Watanabe Eq. 50: M consecutive lengths below best by D_end
+            best_overall = jnp.max(ended_score, axis=1)
+
+            def length_flag(m):
+                L_m = jnp.maximum(i - m, 0)
+                val = jnp.take_along_axis(
+                    best_by_len, jnp.full((B, 1), L_m), axis=1)[:, 0]
+                return (i - m >= 0) & (val > LOG_ZERO / 2) & \
+                    (val - best_overall < D_END)
+
+            flags = jnp.stack([length_flag(m) for m in range(M_END)])
+            end_detected = jnp.all(flags, axis=0) & \
+                (best_overall > LOG_ZERO / 2)
+            no_hyps = ~jnp.any(new_alive, axis=1)
+            new_row_done = row_done | end_detected | no_hyps | \
+                (i + 1 >= row_maxlen)
+
+            return (i + 1, new_tokens, new_score, new_ctc_prev, new_r,
+                    sel_tok, new_alive, new_cache, ended_score, ended_len,
+                    ended_tok, best_by_len, new_row_done)
+
+        final = jax.lax.while_loop(cond, step, state0)
+        ended_score, ended_len, ended_tok = final[8], final[9], final[10]
+        nb = min(self.nbest, E)
+        top_score, top_idx = jax.lax.top_k(ended_score, nb)
+        out_tok = jnp.take_along_axis(ended_tok, top_idx[..., None], axis=1)
+        out_len = jnp.take_along_axis(ended_len, top_idx, axis=1)
+        return out_tok, out_len, top_score

@@ -91,6 +91,9 @@ class E2E_Loss:
         self.blank_id = blank_id
 
     def __call__(self, att_out, ctc_out, att_label, ctc_label, hs_len):
+        # losses always reduce in f32, even under a bf16 compute policy
+        att_out = att_out.astype(jnp.float32)
+        ctc_out = ctc_out.astype(jnp.float32)
         utt_valid = hs_len > 0  # dummy bucket-padding rows have hs_len == 0
         n_valid = jnp.maximum(jnp.sum(utt_valid), 1)
         att = self.att_loss(att_out, att_label, utt_valid)

@@ -200,6 +200,7 @@ class ConformerEncoder(nn.Module):
         elif self.input_layer == "linear":
             self.embed_linear = nn.Dense(self.attention_dim, dtype=self.dtype)
             self.embed_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+            self.embed_dropout = nn.Dropout(self.dropout_rate)
             self.embed_pos = pos_enc
         elif self.input_layer is None:
             self.embed_pos = pos_enc
@@ -225,7 +226,7 @@ class ConformerEncoder(nn.Module):
         elif self.input_layer == "linear":
             h = self.embed_linear(x)
             h = self.embed_norm(h)
-            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            h = self.embed_dropout(h, deterministic=deterministic)
             out = self.embed_pos(h, deterministic=deterministic)
             h_len = x_len
         else:

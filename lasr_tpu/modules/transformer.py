@@ -103,6 +103,7 @@ class Encoder(nn.Module):
         elif self.input_layer == "linear":
             self.embed_linear = nn.Dense(self.attention_dim, dtype=self.dtype)
             self.embed_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+            self.embed_dropout = nn.Dropout(self.dropout_rate)
             self.embed_pos = PositionalEncoding(
                 self.attention_dim, self.positional_dropout_rate, dtype=self.dtype)
         elif self.input_layer == "embed":
@@ -131,7 +132,7 @@ class Encoder(nn.Module):
         if self.input_layer == "linear":
             h = self.embed_linear(x)
             h = self.embed_norm(h)
-            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            h = self.embed_dropout(h, deterministic=deterministic)
             h = nn.relu(h)
             return self.embed_pos(h, deterministic=deterministic), x_len
         if self.input_layer == "embed":
@@ -279,6 +280,7 @@ class Decoder(nn.Module):
         elif self.input_layer == "linear":
             self.embed_linear = nn.Dense(self.attention_dim, dtype=self.dtype)
             self.embed_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+            self.embed_dropout = nn.Dropout(self.dropout_rate)
         else:
             raise ValueError(f"unknown input_layer: {self.input_layer}")
         self.embed_pos = PositionalEncoding(
@@ -302,7 +304,7 @@ class Decoder(nn.Module):
         else:
             h = self.embed_linear(tgt)
             h = self.embed_norm(h)
-            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            h = self.embed_dropout(h, deterministic=deterministic)
             h = nn.relu(h)
         return self.embed_pos(h, offset=offset, deterministic=deterministic)
 

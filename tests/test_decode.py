@@ -1,0 +1,73 @@
+"""Decode tests: greedy CTC and beam-search parity vs the golden replica."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lasr_tpu.decode.beam import CTCAttBeamDecoder
+from lasr_tpu.decode.greedy import ctc_greedy_decode
+from lasr_tpu.models.e2e_ctc_att import E2E_Transformer_CTC
+from tests.ref_beam import ref_beam_search
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    odim = 12
+    model = E2E_Transformer_CTC(
+        idim=16, odim=odim,
+        encoder_attention_dim=16, encoder_attention_heads=2,
+        encoder_linear_units=32, encoder_num_blocks=2,
+        encoder_input_layer="linear",
+        decoder_attention_dim=16, decoder_attention_heads=2,
+        decoder_linear_units=32, decoder_num_block=2,
+        encoder_dropout_rate=0.0, decoder_dropout_rate=0.0, ctc_dropout=0.0)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 23, 16)), jnp.float32)
+    feat_len = jnp.asarray([23, 17], jnp.int32)
+    ys = jnp.asarray(rng.integers(1, odim, (2, 5)))
+    variables = model.init(jax.random.PRNGKey(3), feats, feat_len, ys)
+    return model, variables, feats, feat_len
+
+
+def test_greedy_decode_shapes(tiny_model):
+    model, variables, feats, feat_len = tiny_model
+    hs, hs_len = model.apply(variables, feats, feat_len, method=model.encode)
+    logits = model.apply(variables, hs, method=model.ctc_logits)
+    hyps = ctc_greedy_decode(logits, hs_len)
+    assert len(hyps) == 2
+    assert all(isinstance(h, list) for h in hyps)
+    assert all(0 not in h for h in hyps)  # no blanks survive
+
+
+def test_beam_matches_reference_replica(tiny_model):
+    """The fixed-shape while_loop search must produce the same best
+    hypothesis (tokens and score) as the dict-based reference replica."""
+    model, variables, feats, feat_len = tiny_model
+    dec = CTCAttBeamDecoder(model, variables, beam=4, ctc_beam=6,
+                            ctc_weight=0.4)
+    out = dec(feats, feat_len)
+
+    for b in range(2):
+        ref = ref_beam_search(
+            model, variables, feats[b:b + 1], feat_len[b:b + 1],
+            beam=4, ctc_beam=6, ctc_weight=0.4)
+        assert ref, "reference produced no hypotheses"
+        want = ref[0]["yseq"]
+        n = int(out.lengths[b, 0])
+        got = out.tokens[b, 0, :n].tolist()
+        assert got == want, (b, got, want)
+        assert out.scores[b, 0] == pytest.approx(ref[0]["score"], abs=2e-3)
+
+
+def test_beam_batch_invariance(tiny_model):
+    """Decoding an utterance alone or in a batch must give the same best
+    hypothesis."""
+    model, variables, feats, feat_len = tiny_model
+    dec = CTCAttBeamDecoder(model, variables, beam=3, ctc_beam=5,
+                            ctc_weight=0.5)
+    both = dec(feats, feat_len)
+    solo = dec(feats[1:2, :17], feat_len[1:2])
+    n = int(both.lengths[1, 0])
+    m = int(solo.lengths[0, 0])
+    assert both.tokens[1, 0, :n].tolist() == solo.tokens[0, 0, :m].tolist()
