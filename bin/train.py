@@ -37,6 +37,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
+    from lasr_tpu.utils.env import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
     import jax
     import jax.numpy as jnp
 

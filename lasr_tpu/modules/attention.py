@@ -176,7 +176,8 @@ class MTMultiHeadedAttention(MultiHeadedAttention):
             p = jax.nn.sigmoid(scores)
         return p
 
-    def __call__(self, query, key, value, mask=None, deterministic: bool = True):
+    def __call__(self, query, key, value, mask=None, deterministic: bool = True,
+                 return_attn: bool = False):
         q = self.project_q(query)
         k, v = self.project_kv(key, value)
         scores = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
@@ -191,7 +192,10 @@ class MTMultiHeadedAttention(MultiHeadedAttention):
         p_attn = self.attn_dropout(attn, deterministic=deterministic)
         x = jnp.einsum("bhqk,bkhd->bqhd", p_attn, v)
         B, T1 = x.shape[:2]
-        return self.linear_out(x.reshape(B, T1, self.n_feat))
+        out = self.linear_out(x.reshape(B, T1, self.n_feat))
+        if return_attn:
+            return out, attn
+        return out
 
     def decode_attend(self, q, k, v, endpoint):
         """Single-step monotonic decode with per-head endpoint advance.

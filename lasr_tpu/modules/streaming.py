@@ -1,0 +1,525 @@
+"""Streaming encoders/decoder (Flax) — TPU-first redesign.
+
+Behavioral ports of ``lasr/modules/net/online_transformer/{encoder,
+encoder_layer,decoder}.py`` and the DualEncoder in
+``lasr/modules/net/transformer/encoder.py:128-323``:
+
+  - ``StreamEncoderLayer``: self-attention over [cached memory ‖ chunk]
+    keys with a detached ring memory of the stream's last ``mem_len``
+    frames (encoder_layer.py:47-128).  The reference mutates a buffer per
+    chunk; here memory is an explicit fixed-shape carry.
+  - ``ChunkEncoder``: Transformer-XL style streaming encoder.  The
+    reference's python generator over sliding windows
+    (encoder.py:143-176) becomes one ``nn.scan`` over a static chunk grid:
+    chunks of (cur+right) frames advance by ``hop``, each chunk is conv
+    subsampled with a positional-encoding offset, runs the layer stack
+    against carried memories, and contributes its first cur/4 outputs.
+  - ``DualTransformerEncoder``: offline + chunk-masked online views over
+    shared weights (encoder.py:206-240).
+  - ``ParallelDynamicDualEncoder``: both views in one 2B-batch forward
+    with a random chunk size (chunk + U{0..16} - 8) per step
+    (online encoder.py:252-317).  The reference pre-registers 17 mask
+    buffers of (1250,1250); here the block mask is built on the fly from
+    the traced chunk size — no tables.
+  - ``StreamDecoder``: decoder stack whose source attention is monotonic
+    truncated attention (decoder.py:166-326), returning per-layer source
+    attention maps for alignment losses (``ali_out``,
+    e2e_transformer_online_offline.py:78-80).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lasr_tpu.modules.attention import (
+    MTMultiHeadedAttention, MultiHeadedAttention)
+from lasr_tpu.modules.embedding import PositionalEncoding, sinusoid_table
+from lasr_tpu.modules.feed_forward import PositionwiseFeedForward
+from lasr_tpu.modules.subsampling import Conv2dSubsampling
+from lasr_tpu.modules.transformer import LAYERNORM_EPS, EncoderLayer
+from lasr_tpu.utils.masks import chunk_attention_mask
+
+
+class StreamEncoderLayer(nn.Module):
+    """Encoder block attending over [memory ‖ chunk]; returns new memory."""
+
+    size: int
+    attention_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    hop_sub: int = 16
+    mem_len_sub: int = 16
+    normalize_before: bool = True
+    concat_after: bool = False
+    use_grad: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadedAttention(
+            self.attention_heads, self.size, self.attention_dropout_rate,
+            dtype=self.dtype)
+        self.feed_forward = PositionwiseFeedForward(
+            self.size, self.linear_units, self.dropout_rate, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
+        if self.concat_after:
+            self.concat_linear = nn.Dense(self.size, dtype=self.dtype)
+
+    def __call__(self, x, mem, kmask, deterministic: bool = True):
+        """x: (B, Tc, D) chunk; mem: (B, M, D) carried memory (post-norm1
+        values, like the reference's ``update_mems(x)`` after norm1);
+        kmask: (B, 1, M+Tc) key validity.  Returns (out, new_mem)."""
+        residual = x
+        xh = self.norm1(x) if self.normalize_before else x
+        kx = jnp.concatenate([mem, xh], axis=1)
+        att = self.self_attn(xh, kx, kx, kmask, deterministic=deterministic)
+        if self.concat_after:
+            x = residual + self.concat_linear(jnp.concatenate([xh, att], -1))
+        else:
+            x = residual + self.dropout(att, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        y = self.norm2(x) if self.normalize_before else x
+        x = residual + self.dropout(
+            self.feed_forward(y, deterministic=deterministic),
+            deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        # memory keeps the last mem_len frames of the stream up to this
+        # chunk's hop boundary (encoder_layer.py:55-65); detached unless
+        # use_grad
+        new_mem = jnp.concatenate([mem, xh[:, : self.hop_sub]], axis=1)
+        new_mem = new_mem[:, -self.mem_len_sub:]
+        if not self.use_grad:
+            new_mem = jax.lax.stop_gradient(new_mem)
+        return x, new_mem
+
+
+def _chunk_grid(T_raw: int, cur: int, right: int, hop: int) -> int:
+    """Number of sliding chunks the reference iterator yields
+    (encoder.py:143-154 with left_len=0 and right pad right+6)."""
+    padded = T_raw + right + 6
+    n = 0
+    i = 0
+    chunk_len = cur + right
+    while i + chunk_len < padded - 6 + hop:
+        n += 1
+        i += hop
+    return n
+
+
+class ChunkEncoder(nn.Module):
+    """Streaming chunked encoder (online_transformer/encoder.py:15-176)."""
+
+    idim: int
+    attention_dim: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"
+    normalize_before: bool = True
+    concat_after: bool = False
+    left_len: int = 64
+    cur_len: int = 64
+    right_len: int = 64
+    hop_len: int = 64
+    use_mem: bool = True
+    use_grad: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def _sub(self) -> int:
+        return 4 if self.input_layer == "conv2d" else 1
+
+    def setup(self):
+        if self.input_layer != "conv2d":
+            raise NotImplementedError(
+                "ChunkEncoder currently supports input_layer='conv2d' "
+                "(the reference recipes' setting)")
+        self.embed = Conv2dSubsampling(
+            self.idim, self.attention_dim, self.dropout_rate,
+            pos_enc=PositionalEncoding(self.attention_dim,
+                                       self.positional_dropout_rate,
+                                       dtype=self.dtype),
+            dtype=self.dtype)
+        mem_len = self.left_len if self.use_mem else 0
+        self.mem_len_sub = mem_len // self._sub
+        self.cur_sub = self.cur_len // self._sub
+        self.hop_sub = self.hop_len // self._sub
+        self.layers = [
+            StreamEncoderLayer(
+                self.attention_dim, self.attention_heads, self.linear_units,
+                self.dropout_rate, self.attention_dropout_rate,
+                self.hop_sub, self.mem_len_sub, self.normalize_before,
+                self.concat_after, self.use_grad, dtype=self.dtype,
+                name=f"layers_{i}")
+            for i in range(self.num_blocks)]
+        if self.normalize_before:
+            self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+
+    def chunk_step(self, carry, xs, deterministic: bool):
+        mems = carry                          # (L, B, M, D) tuple
+        chunk_x, offset, valid_mem, key_valid = xs
+        # chunk_x: (B, chunk_raw, idim); offset: scalar sub-frame offset;
+        # valid_mem: scalar count of filled memory rows;
+        # key_valid: (B, chunk_sub) chunk-key validity
+        B = chunk_x.shape[0]
+        dummy_len = jnp.full((B,), chunk_x.shape[1], jnp.int32)
+        h, _ = self.embed(chunk_x, dummy_len, offset=offset,
+                          deterministic=deterministic)
+        M = self.mem_len_sub
+        mem_valid = jnp.arange(M) >= (M - valid_mem)     # (M,)
+        kmask = jnp.concatenate(
+            [jnp.broadcast_to(mem_valid[None, :], (B, M)), key_valid],
+            axis=1)[:, None, :]                           # (B, 1, M+Tc)
+        new_mems = []
+        for i, layer in enumerate(self.layers):
+            h, m = layer(h, mems[i], kmask, deterministic=deterministic)
+            new_mems.append(m)
+        if self.normalize_before:
+            h = self.after_norm(h)
+        return tuple(new_mems), h[:, : self.cur_sub]
+
+    def __call__(self, x, x_len, deterministic: bool = True):
+        """x: (B, T, idim); returns (hs (B, n·cur_sub, D), hs_len)."""
+        B, T, _ = x.shape
+        cur, right, hop = self.cur_len, self.right_len, self.hop_len
+        n_chunks = _chunk_grid(T, cur, right, hop)
+        chunk_raw = cur + right + 6
+        x_pad = jnp.pad(x, ((0, 0), (0, right + 6 + hop), (0, 0)))
+
+        starts = jnp.arange(n_chunks) * hop
+        gather_idx = starts[:, None] + jnp.arange(chunk_raw)[None, :]
+        chunks = x_pad[:, gather_idx]                 # (B, n, chunk_raw, D)
+        chunks = jnp.moveaxis(chunks, 1, 0)           # (n, B, chunk_raw, D)
+
+        offsets = (starts // self._sub).astype(jnp.int32)
+        valid_mem = jnp.minimum(starts // self._sub,
+                                self.mem_len_sub).astype(jnp.int32)
+        chunk_sub = (chunk_raw - 1) // 2
+        chunk_sub = (chunk_sub - 1) // 2
+        j = jnp.arange(chunk_sub)
+        # chunk c's sub-frame j maps to raw frame c*hop + 4j
+        key_valid = (starts[:, None, None] + self._sub * j[None, None, :]
+                     < x_len[None, :, None])          # (n, B, chunk_sub)
+
+        mems0 = tuple(
+            jnp.zeros((B, self.mem_len_sub, self.attention_dim), self.dtype)
+            for _ in range(self.num_blocks))
+
+        def body(module, carry, xs):
+            return module.chunk_step(carry, xs, deterministic)
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True})
+        _, outs = scan(self, mems0, (chunks, offsets, valid_mem, key_valid))
+        hs = jnp.moveaxis(outs, 0, 1).reshape(B, -1, self.attention_dim)
+
+        g = jnp.arange(hs.shape[1])
+        c = g // self.cur_sub
+        jj = g % self.cur_sub
+        valid = (c * hop + self._sub * jj)[None, :] < x_len[:, None]
+        hs_len = jnp.sum(valid, axis=1).astype(jnp.int32)
+        hs = jnp.where(valid[..., None], hs, 0.0)
+        return hs, hs_len
+
+
+class DualTransformerEncoder(nn.Module):
+    """Offline + chunk-masked online forward over shared weights
+    (transformer/encoder.py:128-323)."""
+
+    idim: int
+    attention_dim: int = 256
+    attention_heads: int = 4
+    attention_chunk: int = 16
+    attention_left: int = -1
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"
+    normalize_before: bool = True
+    concat_after: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        from lasr_tpu.modules.transformer import Encoder
+        self.core = Encoder(
+            idim=self.idim, attention_dim=self.attention_dim,
+            attention_heads=self.attention_heads,
+            linear_units=self.linear_units, num_blocks=self.num_blocks,
+            dropout_rate=self.dropout_rate,
+            positional_dropout_rate=self.positional_dropout_rate,
+            attention_dropout_rate=self.attention_dropout_rate,
+            input_layer=self.input_layer,
+            normalize_before=self.normalize_before,
+            concat_after=self.concat_after, dtype=self.dtype)
+
+    def _chunk_mask(self, size: int, chunk=None):
+        chunk = self.attention_chunk if chunk is None else chunk
+        return chunk_attention_mask(size, chunk, self.attention_left)
+
+    def __call__(self, x, x_len, deterministic: bool = True):
+        """Returns (hs_offline, hs_online, hs_len)."""
+        h, h_len = self.core.embed_input(x, x_len, deterministic)
+        off = self._run(h, h_len, None, deterministic)
+        on = self._run(h, h_len, self._chunk_mask(h.shape[1]), deterministic)
+        return off, on, h_len
+
+    def _run(self, h, h_len, att_mask, deterministic):
+        T = h.shape[1]
+        mask = (jnp.arange(T)[None, :] < h_len[:, None])[:, None, :]
+        if att_mask is not None:
+            mask = mask & att_mask[None]
+        for layer in self.core.encoders:
+            h = layer(h, mask, deterministic=deterministic)
+        if self.normalize_before:
+            h = self.core.after_norm(h)
+        return h
+
+    def forward_offline(self, x, x_len, deterministic: bool = True):
+        h, h_len = self.core.embed_input(x, x_len, deterministic)
+        return self._run(h, h_len, None, deterministic), h_len
+
+    def forward_online(self, x, x_len, deterministic: bool = True):
+        h, h_len = self.core.embed_input(x, x_len, deterministic)
+        return self._run(h, h_len, self._chunk_mask(h.shape[1]),
+                         deterministic), h_len
+
+
+class ParallelDynamicDualEncoder(DualTransformerEncoder):
+    """Dual forward in one 2B batch with a random chunk size per step
+    (online_transformer/encoder.py:178-317): chunk = attention_chunk +
+    U{0..16} - 8; eval/online decode uses idx=8 (the nominal chunk)."""
+
+    def __call__(self, x, x_len, deterministic: bool = True):
+        h, h_len = self.core.embed_input(x, x_len, deterministic)
+        T = h.shape[1]
+        if deterministic:
+            chunk = self.attention_chunk
+        else:
+            idx = jax.random.randint(self.make_rng("dropout"), (), 0, 17)
+            chunk = self.attention_chunk + idx - 8
+        pad = (jnp.arange(T)[None, :] < h_len[:, None])[:, None, :]
+        off_mask = jnp.broadcast_to(pad, (h.shape[0], T, T))
+        on_mask = pad & self._chunk_mask(T, chunk)[None]
+        h2 = jnp.concatenate([h, h], axis=0)
+        mask2 = jnp.concatenate([off_mask, on_mask], axis=0)
+        for layer in self.core.encoders:
+            h2 = layer(h2, mask2, deterministic=deterministic)
+        if self.normalize_before:
+            h2 = self.core.after_norm(h2)
+        B = x.shape[0]
+        return h2[:B], h2[B:], h_len
+
+
+class StreamDecoderLayer(nn.Module):
+    """Decoder block with monotonic truncated source attention
+    (online_transformer/decoder_layer.py semantics)."""
+
+    size: int
+    self_attention_heads: int
+    src_attention_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    src_attention_bias_init: float = 0.0
+    src_attention_sigmoid_noise: float = 1.0
+    normalize_before: bool = True
+    concat_after: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadedAttention(
+            self.self_attention_heads, self.size,
+            self.self_attention_dropout_rate, dtype=self.dtype)
+        self.src_attn = MTMultiHeadedAttention(
+            self.src_attention_heads, self.size,
+            self.src_attention_dropout_rate,
+            bias_init=self.src_attention_bias_init,
+            sigmoid_noise=self.src_attention_sigmoid_noise, dtype=self.dtype)
+        self.feed_forward = PositionwiseFeedForward(
+            self.size, self.linear_units, self.dropout_rate, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, tgt, tgt_mask, memory, memory_mask,
+                 deterministic: bool = True, return_attn: bool = False):
+        residual = tgt
+        x = self.norm1(tgt) if self.normalize_before else tgt
+        att = self.self_attn(x, x, x, tgt_mask, deterministic=deterministic)
+        x = residual + self.dropout(att, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        y = self.norm2(x) if self.normalize_before else x
+        src_out = self.src_attn(y, memory, memory, memory_mask,
+                                deterministic=deterministic,
+                                return_attn=return_attn)
+        att, attn_map = src_out if return_attn else (src_out, None)
+        x = residual + self.dropout(att, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        y = self.norm3(x) if self.normalize_before else x
+        x = residual + self.dropout(
+            self.feed_forward(y, deterministic=deterministic),
+            deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm3(x)
+        if return_attn:
+            return x, attn_map
+        return x
+
+    def step_online(self, x_t, pos, self_k, self_v, memory, endpoint):
+        """One cached online decode step: self-attn over the KV prefix,
+        monotonic source attention with per-head endpoint advance."""
+        residual = x_t
+        x = self.norm1(x_t) if self.normalize_before else x_t
+        q = self.self_attn.project_q(x)
+        k_new, v_new = self.self_attn.project_kv(x, x)
+        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, pos, 1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, pos, 1)
+        prefix = (jnp.arange(self_k.shape[1]) <= pos)[None, None, :]
+        att = self.self_attn.attend(q, self_k, self_v, prefix)
+        x = residual + att
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        y = self.norm2(x) if self.normalize_before else x
+        q = self.src_attn.project_q(y)
+        mk, mv = self.src_attn.project_kv(memory, memory)
+        att, new_ep = self.src_attn.decode_attend(q, mk, mv, endpoint)
+        x = residual + att
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        y = self.norm3(x) if self.normalize_before else x
+        x = residual + self.feed_forward(y, deterministic=True)
+        if not self.normalize_before:
+            x = self.norm3(x)
+        return x, self_k, self_v, new_ep
+
+
+class StreamDecoder(nn.Module):
+    """Streaming decoder stack (transformer/decoder.py:166-326)."""
+
+    odim: int
+    attention_dim: int = 256
+    self_attention_heads: int = 4
+    src_attention_heads: int = 1
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    src_attention_bias_init: float = 0.0
+    src_attention_sigmoid_noise: float = 1.0
+    input_layer: str = "embed"
+    use_output_layer: bool = True
+    normalize_before: bool = True
+    concat_after: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.input_layer != "embed":
+            raise NotImplementedError("StreamDecoder supports embed input")
+        self.embed_tok = nn.Embed(self.odim, self.attention_dim,
+                                  dtype=self.dtype)
+        self.embed_pos = PositionalEncoding(
+            self.attention_dim, self.positional_dropout_rate, dtype=self.dtype)
+        self.decoders = [
+            StreamDecoderLayer(
+                self.attention_dim, self.self_attention_heads,
+                self.src_attention_heads, self.linear_units,
+                self.dropout_rate, self.self_attention_dropout_rate,
+                self.src_attention_dropout_rate,
+                self.src_attention_bias_init,
+                self.src_attention_sigmoid_noise,
+                self.normalize_before, self.concat_after,
+                dtype=self.dtype, name=f"layers_{i}")
+            for i in range(self.num_blocks)]
+        if self.normalize_before:
+            self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
+        if self.use_output_layer:
+            self.output_layer = nn.Dense(self.odim, dtype=self.dtype)
+
+    def __call__(self, tgt, tgt_mask, memory, memory_mask,
+                 deterministic: bool = True, collect_attn: bool = False):
+        """Returns logits (B, L, odim); with ``collect_attn`` also the
+        concatenated per-layer source attention maps (B, layers·H, L, T)
+        — the ``ali_out`` contract (e2e_transformer_online_offline.py:78)."""
+        x = self.embed_pos(self.embed_tok(tgt), deterministic=deterministic)
+        attns = []
+        for layer in self.decoders:
+            out = layer(x, tgt_mask, memory, memory_mask,
+                        deterministic=deterministic, return_attn=collect_attn)
+            if collect_attn:
+                x, attn = out
+                attns.append(attn)
+            else:
+                x = out
+        if self.normalize_before:
+            x = self.after_norm(x)
+        if self.use_output_layer:
+            x = self.output_layer(x)
+        if collect_attn:
+            return x, jnp.concatenate(attns, axis=1)  # (B, layers·H, L, T)
+        return x
+
+    # fixed-shape cached online decode
+    def init_cache(self, batch: int, max_len: int):
+        h = self.self_attention_heads
+        dk = self.attention_dim // h
+        shape = (self.num_blocks, batch, max_len, h, dk)
+        ep = jnp.full((self.num_blocks, batch, self.src_attention_heads), -1,
+                      jnp.int32)
+        return {"k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype),
+                "ep": ep}
+
+    def forward_one_step_online(self, y_t, pos, cache, memory):
+        """y_t: (B,); pos: scalar; memory: (B, T, D) streamed encoder out.
+        Returns (log-probs (B, odim), new cache incl. per-layer endpoints)."""
+        import math as _math
+        h = self.embed_tok(y_t[:, None])
+        table = jnp.asarray(
+            sinusoid_table(cache["k"].shape[2], self.attention_dim),
+            dtype=self.dtype)
+        h = h * _math.sqrt(self.attention_dim) + \
+            jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)[None]
+        ks, vs, eps = [], [], []
+        for i, layer in enumerate(self.decoders):
+            h, k, v, ep = layer.step_online(
+                h, pos, cache["k"][i], cache["v"][i], memory, cache["ep"][i])
+            ks.append(k)
+            vs.append(v)
+            eps.append(ep)
+        if self.normalize_before:
+            h = self.after_norm(h)
+        y = h[:, 0]
+        if self.use_output_layer:
+            y = self.output_layer(y)
+        return jax.nn.log_softmax(y, axis=-1), \
+            {"k": jnp.stack(ks), "v": jnp.stack(vs), "ep": jnp.stack(eps)}

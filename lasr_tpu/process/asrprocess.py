@@ -1,0 +1,69 @@
+"""One-call inference API: ``ASRProcess(...)("test.wav") → (tokens, text)``.
+
+Behavioral port of ``lasr/process/asrprocess.py:9-74``: builds
+tokenizer + model from the training config, loads a checkpoint (EMA shadow
+preferred, like decode_lighting.py:66-78), re-applies the decode config's
+``audio_trans`` frontend chain on-device, runs joint CTC/attention beam
+search, strips sos/eos, and decodes to text.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+import yaml
+
+from lasr_tpu.data import reader
+from lasr_tpu.data.frontend import DeviceFrontend
+from lasr_tpu.decode.beam import CTCAttBeamDecoder
+from lasr_tpu.utils.registry import BaseConfig
+
+
+class ASRProcess:
+    def __init__(self, train_config: str, decode_config: str, model_path: str,
+                 choose: str = "last", avg: int = 1):
+        with open(train_config) as f:
+            tc = yaml.safe_load(f)
+        with open(decode_config) as f:
+            dc = yaml.safe_load(f)
+
+        self.tokenizer = BaseConfig(**tc["tokenizer_config"]).generateExample()
+        self.model = BaseConfig(**tc["model_config"]).generateExample()
+
+        from lasr_tpu.train.trainer import load_averaged_params
+        params = load_averaged_params(model_path, choose, avg)
+        self.variables = {"params": params}
+
+        cfg = dc.get("decode_config", {})
+        trans = dc.get("test_data_config", {}).get("kwargs", {}).get(
+            "audio_trans", ["norm", "fbank:80"])
+        self.frontend = DeviceFrontend([t for t in trans if t != "specaug"])
+        self.decoder = CTCAttBeamDecoder(
+            self.model, self.variables,
+            sos=self.tokenizer.ID_VALUE_SOS, eos=self.tokenizer.ID_VALUE_EOS,
+            beam=cfg.get("beam", 10), ctc_beam=cfg.get("ctc_beam", 15),
+            ctc_weight=cfg.get("ctc_weight", 0.5), lm_weight=0.0)
+
+    def frontend_wave(self, wav_path: str) -> Tuple[np.ndarray, int]:
+        wav, sr = reader.read_audio(wav_path)
+        wav = reader.average_channels(wav)
+        if sr != 16000:
+            wav = reader.resample_linear(wav, sr, 16000)
+        return np.asarray(wav, dtype=np.float32), len(wav)
+
+    def model_forward(self, wav: np.ndarray, n: int) -> List[int]:
+        import jax.numpy as jnp
+        feats, feat_len = self.frontend(
+            jnp.asarray(wav[None, :]), jnp.asarray([n], dtype=jnp.int32))
+        hyps = self.decoder(feats, feat_len)
+        return hyps.best_ids(0)  # sos/eos stripped
+
+    def backend(self, token_ids: List[int]) -> Tuple[List[str], str]:
+        return self.tokenizer.decode(token_ids, no_special=True)
+
+    def __call__(self, wav_path: str) -> Tuple[List[str], str]:
+        wav, n = self.frontend_wave(wav_path)
+        ids = self.model_forward(wav, n)
+        return self.backend(ids)

@@ -361,3 +361,16 @@ def average_checkpoints(directory: str, ids: str = "last", num: int = 5
             lambda a: (a / k).astype(np.float32)
             if np.issubdtype(a.dtype, np.floating) else a // k, avg)
         return avg
+
+
+def load_averaged_params(model_path: str, choose: str = "last", avg: int = 5):
+    """Averaged decode weights from a checkpoints root: prefers the EMA
+    shadow tree when present (reference decode_lighting.py:66-78)."""
+    import logging as _logging
+    sub = os.path.join(model_path, choose)
+    directory = sub if os.path.isdir(sub) else model_path
+    tree = average_checkpoints(directory, ids=choose, num=avg)
+    if "ema" in tree:
+        _logging.info("Find EMA parameters, use EMA to decode")
+        return tree["ema"]["shadow"]
+    return tree["params"]
