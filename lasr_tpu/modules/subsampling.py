@@ -77,6 +77,39 @@ def _returns_tuple(pos_enc) -> bool:
     return isinstance(pos_enc, RelPositionalEncoding)
 
 
+class Conv2dUpsampling(nn.Module):
+    """Transpose-conv inverse of Conv2dSubsampling (subsampling.py:175-214):
+    T/4 → ~T with the frequency dim padded back to idim via output padding
+    chosen by idim % 4."""
+
+    idim: int
+    odim: int
+    dropout_rate: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, T', odim) → (B, ~4T', idim)."""
+        middle = ((self.idim - 1) // 2 - 1) // 2
+        B, T, _ = x.shape
+        h = nn.Dense(self.odim * middle, dtype=self.dtype)(x)
+        h = h.reshape(B, T, middle, self.odim)  # NHWC (time, freq, chan)
+        h = nn.relu(h)
+        h = nn.ConvTranspose(self.odim, (3, 3), strides=(2, 2),
+                             padding="VALID", dtype=self.dtype)(h)
+        h = nn.relu(h)
+        h = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="VALID",
+                             dtype=self.dtype)(h)
+        h = h[..., 0]  # (B, T'', F'')
+        # pad/trim frequency back to idim (reference's output_padding table)
+        F = h.shape[-1]
+        if F < self.idim:
+            h = jnp.pad(h, ((0, 0), (0, 0), (0, self.idim - F)))
+        else:
+            h = h[..., : self.idim]
+        return h
+
+
 class Conv2dSubsampling6(Conv2dSubsampling):
     """T → T/6 (stride-2 k3 then stride-3 k5), reference subsampling.py:77-122."""
     stages = ((3, 2), (5, 3))
