@@ -119,16 +119,41 @@ class AudioDataSet:
 
     # ---- batch assembly ----
 
-    def merge_batch(self, items: Sequence[Dict]) -> Dict:
-        """Read + host-transform waveforms and pad to bucketed shapes."""
-        waves, wave_lens = [], []
-        for item in items:
-            wav, sr = reader.read_audio(item["wav"])
+    def _read_waves(self, items: Sequence[Dict]):
+        """Decode the batch's audio: native C++ thread-pool loader when
+        available (all-WAV batches), python reader otherwise."""
+        paths = [it["wav"] for it in items]
+        if all(p.lower().endswith(".wav") for p in paths):
+            try:
+                from lasr_tpu.data import native_loader
+                if native_loader.available():
+                    infos = [native_loader.wav_info(p) for p in paths]
+                    max_s = max(max(n for n, _, _ in infos), 1)
+                    wav, lens, rates = native_loader.read_batch(paths, max_s)
+                    out = []
+                    for i in range(len(paths)):
+                        w = wav[i, : lens[i]]
+                        if rates[i] != SAMPLE_RATE:
+                            w = reader.resample_linear(
+                                w, int(rates[i]), SAMPLE_RATE
+                            ).astype(np.float32)
+                        out.append(w)
+                    return out
+            except Exception as e:  # pragma: no cover - fallback path
+                logging.warning("native loader failed (%s); python fallback", e)
+        out = []
+        for p in paths:
+            wav, sr = reader.read_audio(p)
             wav = reader.average_channels(wav)
             if sr != SAMPLE_RATE:
                 wav = reader.resample_linear(wav, sr, SAMPLE_RATE)
-            waves.append(np.asarray(wav, dtype=np.float32))
-            wave_lens.append(len(wav))
+            out.append(np.asarray(wav, dtype=np.float32))
+        return out
+
+    def merge_batch(self, items: Sequence[Dict]) -> Dict:
+        """Read + host-transform waveforms and pad to bucketed shapes."""
+        waves = self._read_waves(items)
+        wave_lens = [len(w) for w in waves]
 
         S = round_up(max(wave_lens), self.sample_bucket)
         L = round_up(max(it["token_len"] for it in items) or 1,
