@@ -79,7 +79,7 @@ def main(argv=None):
             beam=asr_decode_config["beam"],
             ctc_beam=asr_decode_config["ctc_beam"],
             ctc_weight=asr_decode_config["ctc_weight"],
-            lm_weight=0.0)
+            lm_weight=0.0, online=method == "ctc_att_online")
     elif method == "ctc_greedy":
         decoder = None
     else:

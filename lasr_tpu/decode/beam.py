@@ -135,7 +135,8 @@ class CTCAttBeamDecoder:
                  beam: int = 10, ctc_beam: int = 15, nbest: int = 1,
                  ctc_weight: float = 0.5, penalty: float = 0.0,
                  lm_weight: float = 0.0, blank: int = 0,
-                 maxlenratio: float = 0.0, minlenratio: float = 0.0):
+                 maxlenratio: float = 0.0, minlenratio: float = 0.0,
+                 online: bool = False):
         if lm_weight:
             raise NotImplementedError(
                 "shallow LM fusion lands with the RNNLM stack")
@@ -147,11 +148,20 @@ class CTCAttBeamDecoder:
         self.penalty = penalty
         self.maxlenratio = maxlenratio
         self.minlenratio = minlenratio
+        # online=True decodes over the model's STREAMING encoder forward
+        # (encoder_forward_online, e2e_transformer_online.py:55-58); the
+        # search itself then scores full streamed context — the reference's
+        # final-rescore quality path (truncated TCTC scoring is a follow-up)
+        self.online = online
         self._jit_search = jax.jit(self._search, static_argnames=("max_len",))
 
     def _encode(self, feats, feat_len):
-        hs, hs_len = self.model.apply(self.variables, feats, feat_len,
-                                      method=self.model.encode)
+        if self.online:
+            hs, hs_len = self.model.apply(self.variables, feats, feat_len,
+                                          method=self.model.encode_online)
+        else:
+            hs, hs_len = self.model.apply(self.variables, feats, feat_len,
+                                          method=self.model.encode)
         lpz = jax.nn.log_softmax(
             self.model.apply(self.variables, hs,
                              method=self.model.ctc_logits), axis=-1)
@@ -306,10 +316,10 @@ class CTCAttBeamDecoder:
             new_alive = survive & ~final_step
             new_score = jnp.where(new_alive, top_score, LOG_ZERO)
 
-            # reorder decoder KV cache by flattened parent index
+            # reorder decoder cache leaves (KV, endpoints, ...) by parent
             flat_parent = (parent + jnp.arange(B)[:, None] * K).reshape(-1)
-            new_cache = {"k": jnp.take(new_cache["k"], flat_parent, axis=1),
-                         "v": jnp.take(new_cache["v"], flat_parent, axis=1)}
+            new_cache = jax.tree.map(
+                lambda x: jnp.take(x, flat_parent, axis=1), new_cache)
 
             # Watanabe Eq. 50: M consecutive lengths below best by D_end
             best_overall = jnp.max(ended_score, axis=1)

@@ -197,6 +197,17 @@ class MTMultiHeadedAttention(MultiHeadedAttention):
             return out, attn
         return out
 
+    def attend_monotonic(self, q, k, v, mask=None):
+        """Deterministic monotonic attention over precomputed K/V (the
+        reference's forward_one_step_offline path, decoder.py:298-326)."""
+        scores = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
+                  + self.src_att_bias.astype(q.dtype))
+        p = self._choose_probs(scores, mask, None)
+        attn = p * safe_exclusive_cumprod(1.0 - p, axis=-1)
+        x = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        B, T1 = x.shape[:2]
+        return self.linear_out(x.reshape(B, T1, self.n_feat))
+
     def decode_attend(self, q, k, v, endpoint):
         """Single-step monotonic decode with per-head endpoint advance.
 

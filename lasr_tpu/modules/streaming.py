@@ -389,6 +389,37 @@ class StreamDecoderLayer(nn.Module):
             return x, attn_map
         return x
 
+    def step_offline(self, x_t, pos, self_k, self_v, mem_k, mem_v, mem_mask):
+        """Cached decode step with full (untruncated) monotonic source
+        attention — the reference's forward_one_step_offline
+        (decoder.py:298-326)."""
+        residual = x_t
+        x = self.norm1(x_t) if self.normalize_before else x_t
+        q = self.self_attn.project_q(x)
+        k_new, v_new = self.self_attn.project_kv(x, x)
+        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, pos, 1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, pos, 1)
+        prefix = (jnp.arange(self_k.shape[1]) <= pos)[None, None, :]
+        att = self.self_attn.attend(q, self_k, self_v, prefix)
+        x = residual + att
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        y = self.norm2(x) if self.normalize_before else x
+        q = self.src_attn.project_q(y)
+        att = self.src_attn.attend_monotonic(q, mem_k, mem_v, mem_mask)
+        x = residual + att
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        y = self.norm3(x) if self.normalize_before else x
+        x = residual + self.feed_forward(y, deterministic=True)
+        if not self.normalize_before:
+            x = self.norm3(x)
+        return x, self_k, self_v
+
     def step_online(self, x_t, pos, self_k, self_v, memory, endpoint):
         """One cached online decode step: self-attn over the KV prefix,
         monotonic source attention with per-head endpoint advance."""
@@ -498,6 +529,39 @@ class StreamDecoder(nn.Module):
         return {"k": jnp.zeros(shape, self.dtype),
                 "v": jnp.zeros(shape, self.dtype),
                 "ep": ep}
+
+    def project_memory(self, memory):
+        """Per-layer src-attention K/V, stacked (num_blocks, B, T, H, dk)."""
+        ks, vs = [], []
+        for layer in self.decoders:
+            k, v = layer.src_attn.project_kv(memory, memory)
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def forward_one_step(self, y_t, pos, cache, mem_k, mem_v, mem_mask):
+        """Decoder-compatible cached step (offline/full-context monotonic
+        attention — reference forward_one_step_offline)."""
+        import math as _math
+        h = self.embed_tok(y_t[:, None])
+        table = jnp.asarray(
+            sinusoid_table(cache["k"].shape[2], self.attention_dim),
+            dtype=self.dtype)
+        h = h * _math.sqrt(self.attention_dim) + \
+            jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)[None]
+        ks, vs = [], []
+        for i, layer in enumerate(self.decoders):
+            h, k, v = layer.step_offline(h, pos, cache["k"][i], cache["v"][i],
+                                         mem_k[i], mem_v[i], mem_mask)
+            ks.append(k)
+            vs.append(v)
+        if self.normalize_before:
+            h = self.after_norm(h)
+        y = h[:, 0]
+        if self.use_output_layer:
+            y = self.output_layer(y)
+        return jax.nn.log_softmax(y, axis=-1), \
+            {"k": jnp.stack(ks), "v": jnp.stack(vs), "ep": cache["ep"]}
 
     def forward_one_step_online(self, y_t, pos, cache, memory):
         """y_t: (B,); pos: scalar; memory: (B, T, D) streamed encoder out.

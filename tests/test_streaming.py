@@ -208,3 +208,31 @@ def test_align_loss_modes():
     for mode in ("mid", "beg", "end", "norm", "qua", "google"):
         loss = Align_Loss(mode)(ali_out, beg, end, enc_pad)
         assert np.isfinite(float(loss)), mode
+
+
+def test_online_model_beam_decode():
+    """ctc_att_online: batched beam search over the streaming encoder."""
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    model = E2E_Transformer_CTC_Online(
+        idim=80, odim=11,
+        encoder_attention_dim=16, encoder_attention_heads=2,
+        encoder_left_chunk=16, encoder_center_chunk=16,
+        encoder_right_chunk=16,
+        encoder_linear_units=32, encoder_num_blocks=1,
+        decoder_attention_dim=16, decoder_self_attention_heads=2,
+        decoder_src_attention_heads=2, decoder_linear_units=32,
+        decoder_num_block=1, encoder_dropout_rate=0.0,
+        decoder_dropout_rate=0.0, ctc_dropout=0.0,
+        decoder_src_attention_sigmoid_noise=0.0)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((2, 120, 80)), jnp.float32)
+    feat_len = jnp.asarray([120, 80], jnp.int32)
+    ys = jnp.asarray(rng.integers(1, 11, (2, 4)))
+    vars_ = model.init(jax.random.PRNGKey(0), feats, feat_len, ys)
+    dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5,
+                            ctc_weight=0.5, online=True)
+    out = dec(feats, feat_len)
+    for b in range(2):
+        seq = out.tokens[b, 0, : int(out.lengths[b, 0])].tolist()
+        assert seq[0] == 1 and seq[-1] == 2  # sos ... eos
+        assert np.isfinite(out.scores[b, 0])
