@@ -162,9 +162,11 @@ class CTCAttBeamDecoder:
         else:
             hs, hs_len = self.model.apply(self.variables, feats, feat_len,
                                           method=self.model.encode)
+        # search numerics run in f32 regardless of the model compute dtype
         lpz = jax.nn.log_softmax(
             self.model.apply(self.variables, hs,
-                             method=self.model.ctc_logits), axis=-1)
+                             method=self.model.ctc_logits
+                             ).astype(jnp.float32), axis=-1)
         return hs, hs_len, lpz
 
     def __call__(self, feats, feat_len) -> BeamHypotheses:

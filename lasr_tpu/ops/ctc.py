@@ -84,7 +84,9 @@ def ctc_forward_logprob(log_probs: jnp.ndarray, input_len: jnp.ndarray,
         return jnp.where(active, new, alpha), None
 
     ts = jnp.arange(1, T)
-    alpha_final, _ = jax.lax.scan(step, alpha0, (lp_t[1:], ts))
+    # unroll amortizes the sequential-scan launch latency on TPU; per-step
+    # compute is tiny (B x 2L+1) so the DP is latency- not FLOP-bound
+    alpha_final, _ = jax.lax.scan(step, alpha0, (lp_t[1:], ts), unroll=8)
 
     end1 = 2 * label_len          # final blank state
     end2 = jnp.maximum(2 * label_len - 1, 0)  # final label state

@@ -88,6 +88,19 @@ class Trainer:
         self._metrics_buf = []
         self._mgr_last = None
         self._mgr_best = None
+        self._tb = None
+
+    def _tb_writer(self):
+        """TensorBoard writer (reference `logger=True`, train_lighting.py:211);
+        lazily created, optional dependency."""
+        if self._tb is None and self.exp_dir:
+            try:
+                from flax.metrics import tensorboard
+                self._tb = tensorboard.SummaryWriter(
+                    os.path.join(self.exp_dir, "tb"))
+            except ImportError:
+                self._tb = False
+        return self._tb or None
 
     # ---- state ----
 
@@ -308,6 +321,11 @@ class Trainer:
         if metrics_path:
             with open(metrics_path, "a") as f:
                 f.write(json.dumps(line) + "\n")
+        tb = self._tb_writer()
+        if tb is not None:
+            for k, v in line.items():
+                if isinstance(v, (int, float)) and k not in ("epoch", "step"):
+                    tb.scalar(k, v, step)
 
 
 def _state_to_tree(state: TrainState) -> Dict:
