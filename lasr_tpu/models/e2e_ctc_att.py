@@ -112,6 +112,7 @@ class E2E_Transformer_CTC(E2EBase):
     decoder_src_attention_dropout_rate: float = 0.0
     decoder_self_attention_dropout_rate: float = 0.0
     ctc_dropout: float = 0.1
+    encoder_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -125,6 +126,7 @@ class E2E_Transformer_CTC(E2EBase):
             dropout_rate=self.encoder_dropout_rate,
             positional_dropout_rate=self.encoder_dropout_rate,
             attention_dropout_rate=self.encoder_attention_dropout_rate,
+            remat=self.encoder_remat,
             dtype=self.dtype)
         self.decoder = Decoder(
             odim=self.odim,
@@ -168,6 +170,7 @@ class E2E_Conformer_CTC(E2EBase):
     decoder_self_attention_dropout_rate: float = 0.0
     ctc_dropout: float = 0.1
     domain_dim: int = 0
+    encoder_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -188,6 +191,7 @@ class E2E_Conformer_CTC(E2EBase):
             selfattention_layer_type=self.encoder_selfattention_layer_type,
             use_cnn_module=self.encoder_use_cnn,
             cnn_module_kernel=self.encoder_cnn_kernel,
+            remat=self.encoder_remat,
             dtype=self.dtype)
         self.decoder = Decoder(
             odim=self.odim,

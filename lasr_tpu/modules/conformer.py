@@ -173,6 +173,7 @@ class ConformerEncoder(nn.Module):
     selfattention_layer_type: str = "selfattn"
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
+    remat: bool = False   # rematerialize layer activations (memory ↓, FLOPs ↑)
     dtype: jnp.dtype = jnp.float32
 
     def _pos_enc(self):
@@ -206,8 +207,10 @@ class ConformerEncoder(nn.Module):
             self.embed_pos = pos_enc
         else:
             raise ValueError(f"unknown input_layer: {self.input_layer}")
+        layer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(4,)) \
+            if self.remat else ConformerEncoderLayer
         self.encoders = [
-            ConformerEncoderLayer(
+            layer_cls(
                 self.attention_dim, self.attention_heads, self.linear_units,
                 self.dropout_rate, self.attention_dropout_rate,
                 self.selfattention_layer_type, self.positionwise_layer_type,
@@ -245,7 +248,7 @@ class ConformerEncoder(nn.Module):
                 att_mask = att_mask[None]
             mask = mask & att_mask
         for layer in self.encoders:
-            h = layer(h, mask, pos_emb, deterministic=deterministic)
+            h = layer(h, mask, pos_emb, deterministic)
         if self.normalize_before:
             h = self.after_norm(h)
         return h, h_len

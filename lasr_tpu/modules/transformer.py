@@ -90,6 +90,7 @@ class Encoder(nn.Module):
     input_layer: Optional[str] = "conv2d"
     normalize_before: bool = True
     concat_after: bool = False
+    remat: bool = False   # rematerialize layer activations (memory ↓, FLOPs ↑)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -116,8 +117,10 @@ class Encoder(nn.Module):
                 self.attention_dim, self.positional_dropout_rate, dtype=self.dtype)
         else:
             raise ValueError(f"unknown input_layer: {self.input_layer}")
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(3,)) \
+            if self.remat else EncoderLayer
         self.encoders = [
-            EncoderLayer(self.attention_dim, self.attention_heads,
+            layer_cls(self.attention_dim, self.attention_heads,
                          self.linear_units, self.dropout_rate,
                          self.attention_dropout_rate, self.normalize_before,
                          self.concat_after, dtype=self.dtype,
@@ -152,7 +155,7 @@ class Encoder(nn.Module):
                 att_mask = att_mask[None]
             mask = mask & att_mask
         for layer in self.encoders:
-            h = layer(h, mask, deterministic=deterministic)
+            h = layer(h, mask, deterministic)
         if self.normalize_before:
             h = self.after_norm(h)
         return h, h_len
