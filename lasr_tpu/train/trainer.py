@@ -56,7 +56,8 @@ class Trainer:
                  use_ema: bool = False, ema_decay: float = 0.9999,
                  grad_clip: float = 5.0, acc_grads: int = 1,
                  seed: int = 0, log_interval: int = 50,
-                 checkpoint_keep: int = 10):
+                 checkpoint_keep: int = 10,
+                 partition_params: bool = False):
         self.model = model
         self.criterion = criterion
         self.frontend = frontend
@@ -70,6 +71,7 @@ class Trainer:
         self.seed = seed
         self.log_interval = log_interval
         self.checkpoint_keep = checkpoint_keep
+        self.partition_params = partition_params
 
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), optimizer_tx)
         if acc_grads > 1:
@@ -116,6 +118,21 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._has_bn = "batch_stats" in variables
+        if self.partition_params:
+            # tensor-parallel placement over the mesh 'model' axis; the
+            # optimizer state (zeros_like) inherits each leaf's sharding
+            from lasr_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.mesh)
+            rep = replicated(self.mesh)
+            ema = None
+            if self.use_ema:
+                ema = ema_init(params)
+            return TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+                params=params,
+                batch_stats=jax.device_put(batch_stats, rep),
+                opt_state=self.tx.init(params),
+                ema=ema)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,

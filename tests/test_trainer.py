@@ -171,3 +171,40 @@ def test_fit_epoch_and_validate(toy, tmp_path):
     assert os.path.exists(os.path.join(exp, "metrics.jsonl"))
     vm = trainer.validate(state, ds)
     assert np.isfinite(vm["loss_main"])
+
+
+def test_tensor_parallel_partitioned_step(toy):
+    """2x4 (data x model) mesh: TP-sharded params train and match DP-only."""
+    from jax.sharding import PartitionSpec as P
+    root, tok, ds = toy
+    batch = next(iter(ds.batches()))
+
+    mesh = make_mesh(data=2, model=4)
+    model = E2E_Transformer_CTC(
+        idim=80, odim=tok.dict_size(),
+        encoder_attention_dim=32, encoder_attention_heads=2,
+        encoder_linear_units=64, encoder_num_blocks=1,
+        decoder_attention_dim=32, decoder_attention_heads=2,
+        decoder_linear_units=64, decoder_num_block=1,
+        encoder_dropout_rate=0.0, decoder_dropout_rate=0.0, ctc_dropout=0.0)
+    crit = E2E_Loss(size=tok.dict_size(), padding_idx=-1, smoothing=0.1,
+                    rate=0.3)
+    sched = WarmupScheduler(model_size=32, factor=1.0, warm_step=20)
+    fe = DeviceFrontend(["norm", "fbank:80", "specaug"])
+    tr_tp = Trainer(model, crit, Adam(betas=(0.9, 0.98)).make(sched), fe,
+                    tokenizer=tok, schedule=sched, mesh=mesh,
+                    partition_params=True, log_interval=100)
+    s_tp = tr_tp.init_state(batch)
+    # FFN kernel is actually sharded over the model axis
+    k = s_tp.params["encoder"]["layers_0"]["feed_forward"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+
+    tr_dp, _ = _make_trainer(tok, mesh=make_mesh(data=1,
+                                                 devices=jax.devices()[:1]))
+    s_dp = tr_dp.init_state(batch)
+
+    for _ in range(2):
+        s_tp, m_tp = tr_tp.train_step(s_tp, batch)
+        s_dp, m_dp = tr_dp.train_step(s_dp, batch)
+    np.testing.assert_allclose(float(m_tp["loss_main"]),
+                               float(m_dp["loss_main"]), rtol=2e-4)
