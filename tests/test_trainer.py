@@ -208,3 +208,32 @@ def test_tensor_parallel_partitioned_step(toy):
         s_dp, m_dp = tr_dp.train_step(s_dp, batch)
     np.testing.assert_allclose(float(m_tp["loss_main"]),
                                float(m_dp["loss_main"]), rtol=2e-4)
+
+
+def test_1b_stretch_config_shapes():
+    """The stretch config builds a ~1B-param model (eval_shape only) and the
+    TP rules shard its big kernels."""
+    import yaml
+    from jax.sharding import PartitionSpec as P
+    from lasr_tpu.parallel.sharding import param_spec
+    from lasr_tpu.utils.registry import BaseConfig
+
+    cfg = yaml.safe_load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "example", "pretrain_1b", "conf", "config.yaml")))
+    cfg["model_config"]["kwargs"]["odim"] = 50000
+    model = BaseConfig(**cfg["model_config"]).generateExample()
+
+    x = jnp.zeros((1, 16, 80))
+    xlen = jnp.asarray([16])
+    ys = jnp.zeros((1, 4), jnp.int32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, xlen, ys))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert 0.9e9 < n < 1.4e9, f"param count {n/1e9:.2f}B"
+
+    from flax.traverse_util import flatten_dict
+    flat = flatten_dict(variables["params"])
+    sharded = sum(1 for path, leaf in flat.items()
+                  if param_spec(path, leaf) != P())
+    assert sharded > 100  # attention + FFN kernels across 36 blocks
