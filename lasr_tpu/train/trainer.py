@@ -268,6 +268,18 @@ class Trainer:
 
     # ---- fit loop ----
 
+    def profile_trace(self, state: TrainState, batch: Dict,
+                      steps: int = 3) -> str:
+        """Capture an XLA profiler trace of the train step into
+        ``exp_dir/profile`` (view with TensorBoard/xprof). The reference has
+        no tracing subsystem (SURVEY.md §5); this is the TPU-native one."""
+        out_dir = os.path.join(self.exp_dir or ".", "profile")
+        with jax.profiler.trace(out_dir):
+            for _ in range(steps):
+                state, metrics = self.train_step(state, batch)
+            jax.block_until_ready(metrics["loss_main"])
+        return out_dir
+
     def fit(self, state: TrainState, train_dataset, valid_dataset=None,
             num_epochs: int = 1, num_workers: int = 4,
             save_checkpoints: bool = True) -> TrainState:

@@ -105,3 +105,36 @@ def test_lightning_prefix_split():
     groups = split_lightning_state_dict(sd)
     assert set(groups) == {"model", "model_ema"}
     assert groups["model"] == {"encoder.x": 1, "decoder.y": 2}
+
+
+def test_load_reference_lightning_checkpoint(tmp_path):
+    """A Lightning-style .ckpt (model.* + model_ema.* shadows) round-trips
+    through load_reference_checkpoint with EMA preference."""
+    from lasr.model.e2e_ctc_att.e2e_transformer import (
+        E2E_Transformer_CTC as TorchModel)
+    from lasr_tpu.utils.torch_compat import load_reference_checkpoint
+    import lasr_tpu.models.e2e_ctc_att as ours
+
+    tm = TorchModel(**TINY)
+    sd = {}
+    for k, v in tm.state_dict().items():
+        sd["model." + k] = v
+        # EMA shadow = value + 1 so we can tell which one was loaded
+        sd["model_ema." + k.replace(".", "")] = v + 1.0
+    ckpt = tmp_path / "last-step-00-42.ckpt"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    fm = ours.E2E_Transformer_CTC(**TINY)
+    x, xlen, ys = _data()
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(xlen), jnp.asarray(ys))
+    variables = load_reference_checkpoint(str(ckpt), template=template)
+    # EMA values (original + 1) were preferred
+    got = np.asarray(variables["params"]["ctc"]["Dense_0"]["bias"])
+    want = tm.state_dict()["ctc.1.bias"].numpy() + 1.0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    no_ema = load_reference_checkpoint(str(ckpt), template=template,
+                                       prefer_ema=False)
+    got2 = np.asarray(no_ema["params"]["ctc"]["Dense_0"]["bias"])
+    np.testing.assert_allclose(got2, want - 1.0, atol=1e-6)
