@@ -210,3 +210,11 @@ class SPMTokenizer(BaseTokenizer):
         tokens = [self.get_id_token(i) for i in ids]
         text = "".join(t.replace(self.sc, " ") for t in tokens)
         return tokens, text
+
+    @staticmethod
+    def train_tokenizer(train_file, save_path, vocab_size=5000):
+        if _spm is None:
+            raise ImportError("sentencepiece is required to train SPM models")
+        _spm.SentencePieceTrainer.train(
+            f"--input={train_file} --model_prefix={save_path} "
+            f"--vocab_size={vocab_size}")
