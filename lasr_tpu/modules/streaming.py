@@ -192,6 +192,39 @@ class ChunkEncoder(nn.Module):
             h = self.after_norm(h)
         return tuple(new_mems), h[:, : self.cur_sub]
 
+    def init_stream_state(self, batch: int):
+        """Fresh per-layer memories for chunk-incremental serving."""
+        return tuple(
+            jnp.zeros((batch, self.mem_len_sub, self.attention_dim),
+                      self.dtype)
+            for _ in range(self.num_blocks))
+
+    def encode_chunk(self, chunk_x, chunk_idx, mems, n_valid=None):
+        """Serve one raw chunk of (cur+right+6) frames.
+
+        chunk_x: (B, cur_len+right_len+6, idim) — the stream's frames
+        [idx·hop, idx·hop + cur + right + 6) (zero-pad the tail at EOS);
+        chunk_idx: scalar int; mems: from ``init_stream_state``;
+        n_valid: (B,) total valid frames seen so far (None = everything in
+        this chunk is real signal).  Returns (out (B, cur_sub, D), new mems).
+        Step-by-step output equals the batch ``__call__`` (tested), so
+        offline training and online serving share weights and numerics.
+        """
+        B = chunk_x.shape[0]
+        offset = jnp.asarray(chunk_idx * self.hop_sub, jnp.int32)
+        valid_mem = jnp.minimum(offset, self.mem_len_sub)
+        chunk_sub = ((chunk_x.shape[1] - 1) // 2 - 1) // 2
+        start = jnp.asarray(chunk_idx * self.hop_len, jnp.int32)
+        j = jnp.arange(chunk_sub)
+        if n_valid is None:
+            key_valid = jnp.ones((B, chunk_sub), bool)
+        else:
+            key_valid = (start + self._sub * j)[None, :] < \
+                jnp.asarray(n_valid)[:, None]
+        new_mems, out = self.chunk_step(
+            mems, (chunk_x, offset, valid_mem, key_valid), True)
+        return out, new_mems
+
     def __call__(self, x, x_len, deterministic: bool = True):
         """x: (B, T, idim); returns (hs (B, n·cur_sub, D), hs_len)."""
         B, T, _ = x.shape

@@ -236,3 +236,32 @@ def test_online_model_beam_decode():
         seq = out.tokens[b, 0, : int(out.lengths[b, 0])].tolist()
         assert seq[0] == 1 and seq[-1] == 2  # sos ... eos
         assert np.isfinite(out.scores[b, 0])
+
+
+def test_chunk_encoder_incremental_equals_batch():
+    """Serving API: feeding chunks one at a time reproduces the batch
+    forward exactly (same weights, same memories)."""
+    enc = ChunkEncoder(idim=80, attention_dim=16, attention_heads=2,
+                       linear_units=32, num_blocks=2, dropout_rate=0.0,
+                       left_len=16, cur_len=16, right_len=16, hop_len=16)
+    rng = np.random.default_rng(0)
+    T = 128
+    x = jnp.asarray(rng.standard_normal((1, T, 80)), jnp.float32)
+    x_len = jnp.asarray([T], jnp.int32)
+    vars_ = enc.init(jax.random.PRNGKey(0), x, x_len)
+    full, full_len = enc.apply(vars_, x, x_len)
+
+    from lasr_tpu.modules.streaming import _chunk_grid
+    n = _chunk_grid(T, 16, 16, 16)
+    x_pad = jnp.pad(x, ((0, 0), (0, 16 + 6 + 16), (0, 0)))
+    mems = enc.apply(vars_, 1, method=ChunkEncoder.init_stream_state)
+    outs = []
+    for c in range(n):
+        chunk = x_pad[:, c * 16: c * 16 + 16 + 16 + 6]
+        out, mems = enc.apply(vars_, chunk, c, mems, x_len,
+                              method=ChunkEncoder.encode_chunk)
+        outs.append(out)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc[0, : int(full_len[0])]),
+                               np.asarray(full[0, : int(full_len[0])]),
+                               atol=1e-5)
