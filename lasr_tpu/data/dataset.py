@@ -153,6 +153,10 @@ class AudioDataSet:
     def merge_batch(self, items: Sequence[Dict]) -> Dict:
         """Read + host-transform waveforms and pad to bucketed shapes."""
         waves = self._read_waves(items)
+        if "soxspeed" in self.audio_trans:
+            # speed perturbation (reference datatrans.py:29-40 via sox);
+            # resampling the wave by 1/ratio is the same time-stretch
+            waves = [self._speed_perturb(w) for w in waves]
         wave_lens = [len(w) for w in waves]
 
         S = round_up(max(wave_lens), self.sample_bucket)
@@ -182,6 +186,18 @@ class AudioDataSet:
             "token_len": token_len,
             "n_utts": len(items),
         }
+
+    @staticmethod
+    def _speed_perturb(wav: np.ndarray, rates=(1.0, 1.1, 0.9)) -> np.ndarray:
+        ratio = float(np.random.choice(rates))
+        if ratio == 1.0:
+            return wav
+        n_out = int(round(len(wav) / ratio))
+        src = np.arange(n_out, dtype=np.float64) * ratio
+        lo = np.minimum(src.astype(np.int64), len(wav) - 1)
+        hi = np.minimum(lo + 1, len(wav) - 1)
+        frac = (src - lo).astype(np.float32)
+        return (wav[lo] * (1.0 - frac) + wav[hi] * frac).astype(np.float32)
 
     def batch_indices(self, shuffle: bool = False, seed: int = 0
                       ) -> List[List[int]]:

@@ -46,12 +46,12 @@ class DeviceFrontend:
                 self._plan.append(("fbank", None))
             elif trans == "specaug":
                 self._plan.append(("specaug", None))
-            elif trans in ("avgchannel", "resample:16k"):
-                continue  # handled at read time on host
-            elif trans == "soxspeed":
-                raise NotImplementedError(
-                    "soxspeed perturbation is host-side sox in the reference "
-                    "(datatrans.py:29-40); not yet provided on-device")
+            elif trans in ("avgchannel", "resample:16k", "soxspeed"):
+                # wave-domain host transforms: channel averaging and
+                # resampling happen at read time; speed perturbation is
+                # applied per-utterance in dataset batch assembly
+                # (dataset.py:_read_waves), as in the reference's sox path
+                continue
             else:
                 raise ValueError(f"unknown audio transform {trans!r}")
         if self.feat_dim is None:

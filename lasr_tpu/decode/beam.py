@@ -225,6 +225,9 @@ class CTCAttBeamDecoder:
         best_by_len = jnp.full((B, Lmax + 2), LOG_ZERO)
         row_done = jnp.zeros((B,), bool)
         row_maxlen = jnp.minimum(hs_len, max_len)
+        # reference: ended hyps kept only when len(yseq) > minlen, with a
+        # per-step length bonus `(i+1)·penalty` (ctc_att_decoder.py:295-302)
+        row_minlen = (self.minlenratio * hs_len).astype(jnp.int32)
 
         def flat(x):
             return x.reshape((B * K,) + x.shape[2:])
@@ -281,6 +284,8 @@ class CTCAttBeamDecoder:
 
             is_eos = (sel_tok == self.eos) & ok
             hyp_len = i + 2  # len(yseq) incl. sos + this token
+            is_eos = is_eos & (hyp_len > row_minlen[:, None])
+            bonus = (i + 1).astype(jnp.float32) * self.penalty
 
             # survivors (before the final-step free eos)
             survive = ok & ~is_eos
@@ -293,8 +298,8 @@ class CTCAttBeamDecoder:
             new_tokens = forced_tok
 
             # pool insertion: natural enders at len i+2, forced at len i+3
-            nat_score = jnp.where(is_eos, top_score, LOG_ZERO)
-            frc_score = jnp.where(forced, top_score, LOG_ZERO)
+            nat_score = jnp.where(is_eos, top_score + bonus, LOG_ZERO)
+            frc_score = jnp.where(forced, top_score + bonus, LOG_ZERO)
             pool_score = jnp.concatenate([ended_score, nat_score, frc_score], 1)
             pool_len = jnp.concatenate(
                 [ended_len,

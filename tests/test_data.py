@@ -169,3 +169,22 @@ def test_round_up():
     assert round_up(8, 8) == 8
     assert round_up(9, 8) == 16
     assert round_up(0, 8) == 8
+
+
+def test_soxspeed_host_transform(toy_corpus):
+    tok = CharTokenizer(str(toy_corpus / "dict.txt"))
+    ds = BatchAudioDataSet(
+        wav_list=str(toy_corpus / "wav.scp"), text_list=str(toy_corpus / "text"),
+        tokenizer=tok, audio_trans=["soxspeed", "norm", "fbank:80"],
+        batch_type="size", batch_size=10, min_duration=0.0, text_freq=0.0)
+    ds.load_check_data()
+    np.random.seed(0)
+    batch = next(iter(ds.batches(num_workers=1)))
+    # lengths perturbed by ~±10% for some utterances
+    assert batch["wav_array"].shape[0] >= 8
+    # the frontend must accept (and skip) the soxspeed stage
+    from lasr_tpu.data.frontend import DeviceFrontend
+    fe = DeviceFrontend(ds.audio_trans)
+    feats, _ = fe(jnp.asarray(batch["wav_array"]),
+                  jnp.asarray(batch["wav_len"]))
+    assert feats.shape[-1] == 80
