@@ -124,8 +124,12 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
         # content score (matrix a+c) and position score (matrix b+d)
         matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
-        matrix_bd = jnp.einsum("bqhd,bphd->bhqp", q_v,
-                               jnp.broadcast_to(p, (q.shape[0],) + p.shape[1:]))
+        if p.shape[0] == 1:
+            # shared pos table: contract without materializing a per-batch
+            # copy (the table is (1, 2T-1, H, dk))
+            matrix_bd = jnp.einsum("bqhd,phd->bhqp", q_v, p[0])
+        else:
+            matrix_bd = jnp.einsum("bqhd,bphd->bhqp", q_v, p)
         matrix_bd = rel_shift(matrix_bd)
         scores = (matrix_ac + matrix_bd[..., : k.shape[1]]) / math.sqrt(self.d_k)
         if self.zero_triu:
