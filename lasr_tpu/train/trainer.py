@@ -131,7 +131,7 @@ class Trainer:
                 step=jax.device_put(jnp.zeros((), jnp.int32), rep),
                 params=params,
                 batch_stats=jax.device_put(batch_stats, rep),
-                opt_state=self.tx.init(params),
+                opt_state=self._replicate_unsharded(self.tx.init(params)),
                 ema=ema)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -258,8 +258,35 @@ class Trainer:
             mgr_last, _ = self._managers()
             step = step if step is not None else mgr_last.latest_step()
             tree = mgr_last.restore(step, args=ocp.args.StandardRestore(template))
-        return jax.device_put(_tree_to_state(tree, state),
-                              replicated(self.mesh))
+        restored = _tree_to_state(tree, state)
+        if self.partition_params:
+            # re-establish TP placement: params/EMA by the sharding rules,
+            # optimizer moments by their matching live placement in `state`
+            from lasr_tpu.parallel.sharding import shard_state_params
+            restored = shard_state_params(
+                restored.replace(
+                    step=jax.device_put(restored.step, replicated(self.mesh)),
+                    batch_stats=jax.device_put(restored.batch_stats,
+                                               replicated(self.mesh))),
+                self.mesh)
+            opt = jax.tree.map(
+                lambda new, ref: jax.device_put(new, ref.sharding),
+                restored.opt_state, state.opt_state)
+            return restored.replace(opt_state=self._replicate_unsharded(opt))
+        return jax.device_put(restored, replicated(self.mesh))
+
+    def _replicate_unsharded(self, tree):
+        """device_put any leaf not already mesh-placed (e.g. optax step
+        counters) with full replication, so jit sees one device set."""
+        from jax.sharding import NamedSharding
+        rep = replicated(self.mesh)
+
+        def fix(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh.shape == self.mesh.shape:
+                return leaf
+            return jax.device_put(leaf, rep)
+        return jax.tree.map(fix, tree)
 
     def save_hparams(self, configs: Dict) -> None:
         os.makedirs(self.exp_dir, exist_ok=True)

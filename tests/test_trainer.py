@@ -237,3 +237,34 @@ def test_1b_stretch_config_shapes():
     sharded = sum(1 for path, leaf in flat.items()
                   if param_spec(path, leaf) != P())
     assert sharded > 100  # attention + FFN kernels across 36 blocks
+
+
+def test_tp_checkpoint_restore_keeps_sharding(toy, tmp_path):
+    from jax.sharding import PartitionSpec as P
+    root, tok, ds = toy
+    batch = next(iter(ds.batches()))
+    mesh = make_mesh(data=2, model=4)
+    model = E2E_Transformer_CTC(
+        idim=80, odim=tok.dict_size(),
+        encoder_attention_dim=32, encoder_attention_heads=2,
+        encoder_linear_units=64, encoder_num_blocks=1,
+        decoder_attention_dim=32, decoder_attention_heads=2,
+        decoder_linear_units=64, decoder_num_block=1,
+        encoder_dropout_rate=0.0, decoder_dropout_rate=0.0, ctc_dropout=0.0)
+    crit = E2E_Loss(size=tok.dict_size(), padding_idx=-1, smoothing=0.1,
+                    rate=0.3)
+    sched = WarmupScheduler(model_size=32, factor=1.0, warm_step=20)
+    tr = Trainer(model, crit, Adam(betas=(0.9, 0.98)).make(sched),
+                 DeviceFrontend(["norm", "fbank:80", "specaug"]),
+                 tokenizer=tok, exp_dir=str(tmp_path / "exp"), schedule=sched,
+                 mesh=mesh, partition_params=True, log_interval=100)
+    state = tr.init_state(batch)
+    state, m = tr.train_step(state, batch)
+    tr.save_checkpoint(state, {"loss_main": float(m["loss_main"])})
+    state2 = tr.init_state(batch)
+    state2 = tr.restore_checkpoint(state2)
+    k = state2.params["encoder"]["layers_0"]["feed_forward"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+    # and training continues
+    state2, m2 = tr.train_step(state2, batch)
+    assert np.isfinite(float(m2["loss_main"]))
