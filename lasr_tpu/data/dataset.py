@@ -27,7 +27,7 @@ import logging
 import random
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

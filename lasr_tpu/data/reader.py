@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import IO, List, Optional, Tuple
+from typing import IO, List, Tuple
 
 import numpy as np
 

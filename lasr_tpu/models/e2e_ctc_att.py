@@ -15,8 +15,6 @@ fixed-shape KV-cache path.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

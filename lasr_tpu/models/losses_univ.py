@@ -7,8 +7,6 @@ Behavioral ports of ``lasr/modules/criterion/customize_loss.py`` (KL_Loss),
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -20,8 +20,6 @@ parameters without re-projecting the memory every step.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

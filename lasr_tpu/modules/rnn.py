@@ -8,8 +8,6 @@ whose stepwise ``forward(state, x)`` / ``forward_onehot`` is the
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

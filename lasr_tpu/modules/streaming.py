@@ -29,8 +29,6 @@ encoder_layer,decoder}.py`` and the DualEncoder in
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

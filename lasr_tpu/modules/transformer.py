@@ -15,7 +15,7 @@ inside ``lax.while_loop`` with no shape growth.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
