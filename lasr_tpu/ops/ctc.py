@@ -69,15 +69,18 @@ def ctc_forward_logprob(log_probs: jnp.ndarray, input_len: jnp.ndarray,
     alpha0 = alpha0.at[:, 1].set(jnp.where(has_lbl, a1, _NEG_INF))
     alpha0 = jnp.where(state_ok, alpha0, _NEG_INF)
 
-    lp_t = jnp.moveaxis(log_probs, 1, 0)  # (T, B, V)
+    # hoist the vocab gather out of the scan: one (B, T, S) lookup instead
+    # of T small (B, S)-from-(B, V) gathers inside the loop
+    emit_all = jnp.take_along_axis(
+        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, S)), axis=2)
+    emit_t = jnp.moveaxis(emit_all, 1, 0)  # (T, B, S)
 
     def step(alpha, inputs):
-        lp, t = inputs
+        emit, t = inputs
         stay = alpha
         prev1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=_NEG_INF)[:, :S]
         prev2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=_NEG_INF)[:, :S]
         prev2 = jnp.where(can_skip, prev2, _NEG_INF)
-        emit = jnp.take_along_axis(lp, ext, axis=1)  # (B, S)
         new = _logsumexp3(stay, prev1, prev2) + emit
         new = jnp.where(state_ok, new, _NEG_INF)
         active = (t < input_len)[:, None]
@@ -86,7 +89,7 @@ def ctc_forward_logprob(log_probs: jnp.ndarray, input_len: jnp.ndarray,
     ts = jnp.arange(1, T)
     # unroll amortizes the sequential-scan launch latency on TPU; per-step
     # compute is tiny (B x 2L+1) so the DP is latency- not FLOP-bound
-    alpha_final, _ = jax.lax.scan(step, alpha0, (lp_t[1:], ts), unroll=8)
+    alpha_final, _ = jax.lax.scan(step, alpha0, (emit_t[1:], ts), unroll=8)
 
     end1 = 2 * label_len          # final blank state
     end2 = jnp.maximum(2 * label_len - 1, 0)  # final label state
