@@ -169,6 +169,7 @@ class E2E_Conformer_CTC(E2EBase):
     ctc_dropout: float = 0.1
     domain_dim: int = 0
     encoder_remat: bool = False
+    encoder_use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -190,6 +191,7 @@ class E2E_Conformer_CTC(E2EBase):
             use_cnn_module=self.encoder_use_cnn,
             cnn_module_kernel=self.encoder_cnn_kernel,
             remat=self.encoder_remat,
+            use_pallas_attention=self.encoder_use_pallas_attention,
             dtype=self.dtype)
         self.decoder = Decoder(
             odim=self.odim,

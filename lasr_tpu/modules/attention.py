@@ -103,6 +103,10 @@ def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
 
 class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     zero_triu: bool = False
+    # use the fused Pallas flash kernel (ops/rel_attention.py) when the mask
+    # is a key-prefix padding mask and attention dropout is inactive; falls
+    # back to the XLA path otherwise (attn-map sow only exists on fallback)
+    use_pallas: bool = False
 
     def setup(self):
         super().setup()
@@ -112,8 +116,45 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         self.pos_bias_u = self.param("pos_bias_u", init, (self.n_head, self.d_k))
         self.pos_bias_v = self.param("pos_bias_v", init, (self.n_head, self.d_k))
 
+    def _pallas_ok(self, query, key, pos_emb, mask, deterministic) -> bool:
+        if not self.use_pallas or self.zero_triu:
+            return False
+        if not deterministic and self.dropout_rate > 0:
+            return False
+        if query.shape[1] != key.shape[1]:
+            return False
+        if pos_emb.shape[0] != 1 or pos_emb.shape[1] != 2 * query.shape[1] - 1:
+            return False
+        return mask is None or (mask.ndim == 3 and mask.shape[1] == 1)
+
+    def _pallas_attend(self, query, key, value, pos_emb, mask):
+        from lasr_tpu.ops.rel_attention import rel_attention_context
+        B, T, _ = query.shape
+        H, dk = self.n_head, self.d_k
+        q = self.project_q(query)
+        k, v = self.project_kv(key, value)
+        p = self._split(self.linear_pos(pos_emb))[0]      # (2T-1, H, dk)
+        q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
+        q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
+
+        def bh(x):
+            return jnp.moveaxis(x, 2, 1).reshape(B * H, T, dk)
+
+        if mask is None:
+            kv_len = jnp.full((B,), T, jnp.int32)
+        else:
+            # key-prefix padding mask (True = valid); padding is trailing
+            kv_len = jnp.sum(mask[:, 0, :], axis=-1).astype(jnp.int32)
+        ctx = rel_attention_context(
+            bh(q_u), bh(q_v), bh(k), bh(v), jnp.moveaxis(p, 1, 0),
+            jnp.repeat(kv_len, H))
+        ctx = jnp.moveaxis(ctx.reshape(B, H, T, dk), 1, 2)
+        return self.linear_out(ctx.reshape(B, T, self.n_feat))
+
     def __call__(self, query, key, value, pos_emb, mask=None,
                  deterministic: bool = True):
+        if self._pallas_ok(query, key, pos_emb, mask, deterministic):
+            return self._pallas_attend(query, key, value, pos_emb, mask)
         q = self.project_q(query)                       # (B, T1, H, dk)
         k, v = self.project_kv(key, value)              # (B, T2, H, dk)
         p = self._split(self.linear_pos(pos_emb))       # (1|B, 2T-1, H, dk)

@@ -66,6 +66,7 @@ class ConformerEncoderLayer(nn.Module):
     cnn_module_kernel: int = 31
     normalize_before: bool = True
     concat_after: bool = False
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _positionwise(self, name):
@@ -108,6 +109,7 @@ class ConformerEncoderLayer(nn.Module):
             assert pos_emb is not None
             att = RelPositionMultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
+                use_pallas=self.use_pallas_attention,
                 dtype=self.dtype, name="self_attn")(
                 x, x, x, pos_emb, mask, deterministic=deterministic)
         else:
@@ -174,6 +176,7 @@ class ConformerEncoder(nn.Module):
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
     remat: bool = False   # rematerialize layer activations (memory ↓, FLOPs ↑)
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _pos_enc(self):
@@ -217,6 +220,7 @@ class ConformerEncoder(nn.Module):
                 self.positionwise_conv_kernel_size, self.macaron_style,
                 self.use_cnn_module, self.cnn_module_kernel,
                 self.normalize_before, self.concat_after,
+                self.use_pallas_attention,
                 dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_blocks)]
         if self.normalize_before:

@@ -9,18 +9,24 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
 
 def timeit(fn, *args, iters=20):
+    """Chain iterations through a data dependence so neither XLA nor the
+    runtime can elide repeated identical calls."""
     import jax
+    import jax.numpy as jnp
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
+    acc = out * 0.0
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        scaled = (args[0] * (1.0 + acc * 1e-30).astype(args[0].dtype),) + args[1:]
+        acc = acc + fn(*scaled)
+    jax.block_until_ready(acc)
     return (time.perf_counter() - t0) / iters * 1000
 
 
@@ -77,9 +83,9 @@ def main():
                      ("none", bd_none)):
         f = attn(fn)
         results[f"fwd_{name}_ms"] = timeit(jax.jit(f), q, k, v, p)
-        g = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))
-        results[f"grad_{name}_ms"] = timeit(
-            lambda *a: g(*a)[0], q, k, v, p)
+        g = jax.jit(lambda *a: jax.grad(f, argnums=(0, 1, 2, 3))(*a)[0].astype(
+            jnp.float32).sum())
+        results[f"grad_{name}_ms"] = timeit(g, q, k, v, p)
         print(json.dumps(results), flush=True)
     print("FINAL", json.dumps(results))
 
