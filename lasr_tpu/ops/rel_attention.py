@@ -57,7 +57,7 @@ def _block_rel_shift(w, BQ: int, BK: int):
 def _fwd_kernel(kvlen_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
                 o_ref, lse_ref, *, BQ, BK, T, Tp, dk, n_kblocks, p_off):
     iq = pl.program_id(1)
-    kvlen = kvlen_ref[0]
+    kvlen = kvlen_ref[pl.program_id(0), 0]
 
     qu = qu_ref[0, :, :]              # (BQ, dkp)
     qv = qv_ref[0, :, :]
@@ -100,7 +100,7 @@ def _fwd_kernel(kvlen_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
     m, l, acc = jax.lax.fori_loop(0, n_kblocks, body, (m, l, acc))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0, :, :] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0, :] = (m + jnp.log(l_safe))[:, 0]
+    lse_ref[0, 0, pl.ds(iq * BQ, BQ)] = (m + jnp.log(l_safe))[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("H", "BQ", "interpret"))
@@ -140,7 +140,7 @@ def _rel_attention_pallas(q_u, q_v, k, v, p, kv_len, H: int, BQ: int = 128,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bh, iq: (bh, 0),
+            pl.BlockSpec((BH, 1), lambda bh, iq: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, BQ, dkp), lambda bh, iq: (bh, iq, 0)),
             pl.BlockSpec((1, BQ, dkp), lambda bh, iq: (bh, iq, 0)),
@@ -150,15 +150,15 @@ def _rel_attention_pallas(q_u, q_v, k, v, p, kv_len, H: int, BQ: int = 128,
         ],
         out_specs=[
             pl.BlockSpec((1, BQ, dkp), lambda bh, iq: (bh, iq, 0)),
-            pl.BlockSpec((1, BQ), lambda bh, iq: (bh, iq)),
+            pl.BlockSpec((1, 1, Tp), lambda bh, iq: (bh, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Tp, dkp), q_u.dtype),
-            jax.ShapeDtypeStruct((BH, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, Tp), jnp.float32),
         ],
         interpret=interpret,
     )(kv_len[:, None].astype(jnp.int32), qu_p, qv_p, k_p, v_p, p_p)
-    return out[:, :T, :dk], lse[:, :T]
+    return out[:, :T, :dk], lse[:, 0, :T]
 
 
 def _inverse_block_rel_shift(ds, BQ: int, BK: int):
@@ -181,14 +181,14 @@ def _bwd_kernel(kvlen_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, do_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref,
                 *, BQ, BK, T, Tp, dk, n_kblocks, p_off):
     iq = pl.program_id(1)
-    kvlen = kvlen_ref[0]
+    kvlen = kvlen_ref[pl.program_id(0), 0]
     scale = 1.0 / math.sqrt(dk)
 
     qu = qu_ref[0, :, :]
     qv = qv_ref[0, :, :]
     do = do_ref[0, :, :].astype(jnp.float32)
-    lse = lse_ref[0, :][:, None]
-    delta = delta_ref[0, :][:, None]
+    lse = lse_ref[0, 0, pl.ds(iq * BQ, BQ)][:, None]
+    delta = delta_ref[0, 0, pl.ds(iq * BQ, BQ)][:, None]
 
     @pl.when(iq == 0)
     def _():
@@ -271,8 +271,8 @@ def _rel_attention_pallas_bwd(q_u, q_v, k, v, p, kv_len, out, lse, dout,
     p_p = jnp.pad(p, ((0, 0), (p_off, Pp - p_off - P), (0, dkp - dk)))
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)
-    lse_p = jnp.pad(lse, ((0, 0), (0, Tp - T)), constant_values=0.0)
-    delta_p = jnp.pad(delta, ((0, 0), (0, Tp - T)))
+    lse_p = jnp.pad(lse, ((0, 0), (0, Tp - T)))[:, None, :]
+    delta_p = jnp.pad(delta, ((0, 0), (0, Tp - T)))[:, None, :]
 
     n_q = Tp // BQ
     n_k = Tp // BK
@@ -283,13 +283,13 @@ def _rel_attention_pallas_bwd(q_u, q_v, k, v, p, kv_len, out, lse, dout,
 
     blk_q = pl.BlockSpec((1, BQ, dkp), lambda bh, iq: (bh, iq, 0))
     blk_full = pl.BlockSpec((1, Tp, dkp), lambda bh, iq: (bh, 0, 0))
-    blk_row = pl.BlockSpec((1, BQ), lambda bh, iq: (bh, iq))
+    blk_row = pl.BlockSpec((1, 1, Tp), lambda bh, iq: (bh, 0, 0))
 
     dqu, dqv, dk_, dv_, dp_ = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bh, iq: (bh, 0),
+            pl.BlockSpec((BH, 1), lambda bh, iq: (0, 0),
                          memory_space=pltpu.SMEM),
             blk_q, blk_q, blk_full, blk_full,
             pl.BlockSpec((1, Pp, dkp), lambda bh, iq: (bh % H, 0, 0)),
