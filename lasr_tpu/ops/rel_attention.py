@@ -76,8 +76,10 @@ def _fwd_kernel(kvlen_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
             preferred_element_type=jnp.float32)          # (BQ, BK)
 
         # p window: rel index for (ii, jj) is r0 + (BQ-1) - ii + jj with
-        # r0 = T-1 - iq*BQ - (BQ-1) + jk*BK; p_ref is pre-padded by p_off
-        r0 = (T - 1) - iq * BQ - (BQ - 1) + jk * BK + p_off
+        # r0 = T-1 - iq*BQ - (BQ-1) + jk*BK; p_ref is pre-padded by p_off,
+        # which is chosen so r0 is always a multiple of 8 (Mosaic sublane
+        # alignment for dynamic vector loads)
+        r0 = pl.multiple_of((T - 1) - iq * BQ - (BQ - 1) + jk * BK + p_off, 8)
         p_win = p_ref[0, pl.ds(r0, BQ + BK), :]          # (2BQ, dkp)
         w = jax.lax.dot_general(
             qv, p_win, (((1,), (1,)), ((), ())),
@@ -115,7 +117,9 @@ def _rel_attention_pallas(q_u, q_v, k, v, p, kv_len, H: int, BQ: int = 128,
     Tp = _round_up(T, BQ)
     dkp = _round_up(dk, 128)
     P = p.shape[1]
-    p_off = BQ  # left pad so window starts are non-negative
+    # left pad so window starts are non-negative AND r0 = (T-BQ+p_off) +
+    # 128*(jk-iq) stays a multiple of 8 for Mosaic's alignment analysis
+    p_off = BQ + (-(T - BQ)) % 8
     Pp = _round_up(p_off + P + 2 * BQ, 128)
 
     def pad3(x, T_to, d_to):
@@ -203,7 +207,8 @@ def _bwd_kernel(kvlen_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, do_ref,
         dqu_acc, dqv_acc = carry
         k_blk = k_ref[0, pl.ds(jk * BK, BK), :]
         v_blk = v_ref[0, pl.ds(jk * BK, BK), :]
-        r0 = (T - 1) - iq * BQ - (BQ - 1) + jk * BK + p_off
+        r0 = pl.multiple_of(
+            (T - 1) - iq * BQ - (BQ - 1) + jk * BK + p_off, 8)
         p_win = p_ref[0, pl.ds(r0, BQ + BK), :]
 
         ac = jax.lax.dot_general(qu, k_blk, (((1,), (1,)), ((), ())),
@@ -256,7 +261,7 @@ def _rel_attention_pallas_bwd(q_u, q_v, k, v, p, kv_len, out, lse, dout,
     Tp = _round_up(T, BQ)
     dkp = _round_up(dk, 128)
     P = p.shape[1]
-    p_off = BQ
+    p_off = BQ + (-(T - BQ)) % 8
     Pp = _round_up(p_off + P + 2 * BQ, 128)
 
     def pad3(x, T_to, d_to):
