@@ -38,20 +38,35 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _block_rel_shift(w, BQ: int, BK: int):
-    """w: (BQ, BQ+BK) with w[ii, r] = q_v[ii]·p[r0+r]; returns (BQ, BK)
-    bd[ii, jj] = w[ii, (BQ-1) - ii + jj] via the pad-reshape trick.
+def _roll_lanes(y, shift: int):
+    """Circular roll along the last (lane) axis by a static amount; uses the
+    TPU-native permute in compiled mode and jnp.roll in the interpreter."""
+    try:
+        return pltpu.roll(y, shift, 1)
+    except Exception:  # pragma: no cover - interpreter fallback
+        return jnp.roll(y, shift, axis=1)
 
-    Requires BQ == BK.  Column BQ+BK-1 of w must be garbage-tolerant (it
-    never lands in the kept region).
+
+def _block_rel_shift(w, BQ: int, BK: int):
+    """w: (BQ, 2BQ) with w[ii, r] = q_v[ii]·p[r0+r]; returns (BQ, BK)
+    bd[ii, jj] = w[ii, (BQ-1) - ii + jj].
+
+    Implemented as a barrel shifter — log2(BQ) conditional circular rolls —
+    because Mosaic does not lower the classic odd-width pad-reshape trick.
+    Row ii needs a LEFT roll by s = BQ-1-ii; for the kept region
+    (jj < BK, s < BQ) the roll never wraps, so circular == linear.
     """
     assert BQ == BK
-    # classic trick (verified): zero-pad a front column of w[:, :2BQ-1],
-    # reshape (2BQ, BQ), drop the first row, reshape (BQ, 2BQ-1), keep BK.
-    x = w[:, : 2 * BQ - 1]
-    xp = jnp.concatenate([jnp.zeros((BQ, 1), w.dtype), x], axis=-1)
-    y = xp.reshape(2 * BQ, BQ)[1:, :]          # (2BQ-1, BQ)
-    return y.reshape(BQ, 2 * BQ - 1)[:, :BK]
+    n = w.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (BQ, n), 0)
+    shift = (BQ - 1) - row
+    y = w
+    b = 1
+    while b < BQ:
+        rolled = _roll_lanes(y, n - b)          # left-roll by b
+        y = jnp.where((shift & b) != 0, rolled, y)
+        b *= 2
+    return y[:, :BK]
 
 
 def _fwd_kernel(kvlen_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref,
@@ -167,17 +182,20 @@ def _rel_attention_pallas(q_u, q_v, k, v, p, kv_len, H: int, BQ: int = 128,
 
 def _inverse_block_rel_shift(ds, BQ: int, BK: int):
     """Scatter dS (BQ, BK) back to dW (BQ, 2BQ): dW[ii, (BQ-1)-ii+jj] =
-    dS[ii, jj], zeros elsewhere — the transpose of ``_block_rel_shift``,
-    via the reverse pad-reshape composition."""
+    dS[ii, jj], zeros elsewhere — the transpose of ``_block_rel_shift``:
+    a barrel shifter rolling each row RIGHT by s = BQ-1-ii."""
     assert BQ == BK
-    # forward: x(BQ,2BQ-1) -pad-> (BQ,2BQ) -view(2BQ,BQ) -drop row0->
-    #          (2BQ-1,BQ) -view(BQ,2BQ-1) -keep :BK
-    # reverse each step:
-    z = jnp.pad(ds, ((0, 0), (0, BQ - 1)))            # (BQ, 2BQ-1)
-    y = z.reshape(2 * BQ - 1, BQ)
-    xp = jnp.pad(y, ((1, 0), (0, 0)))                 # (2BQ, BQ)
-    x = xp.reshape(BQ, 2 * BQ)[:, 1:]                 # (BQ, 2BQ-1)
-    return jnp.pad(x, ((0, 0), (0, 1)))               # (BQ, 2BQ)
+    n = 2 * BQ
+    z = jnp.pad(ds, ((0, 0), (0, n - BK)))            # (BQ, 2BQ)
+    row = jax.lax.broadcasted_iota(jnp.int32, (BQ, n), 0)
+    shift = (BQ - 1) - row
+    y = z
+    b = 1
+    while b < BQ:
+        rolled = _roll_lanes(y, b)                    # right-roll by b
+        y = jnp.where((shift & b) != 0, rolled, y)
+        b *= 2
+    return y
 
 
 def _bwd_kernel(kvlen_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, do_ref,
