@@ -1,0 +1,127 @@
+"""Chunk-incremental streaming recognition (serving path).
+
+Joins the pieces the reference exposes separately (ChunkEncoder streaming
+forward, CTC head, greedy collapse) into a stateful one-utterance serving
+API: feed raw samples as they arrive, get partial transcripts; each encoder
+chunk runs the SAME weights/numerics as training (encode_chunk == batch
+forward, tested in test_streaming.py).
+
+The frontend is computed incrementally: log-mel frames only depend on their
+own 400-sample window, so arriving samples extend the feature stream
+exactly (no lookahead beyond the window).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from lasr_tpu.ops.fbank import KaldiFbankConfig, log_mel_fbank
+from lasr_tpu.utils.text import greedy_ctc_tokens
+
+
+class StreamingRecognizer:
+    """Greedy streaming CTC recognizer over an E2E_Transformer_CTC_Online
+    model (one utterance per instance)."""
+
+    def __init__(self, model, variables, tokenizer=None, blank: int = 0,
+                 fbank: Optional[KaldiFbankConfig] = None,
+                 peak_norm_fallback: float = 1.0):
+        import jax
+        import jax.numpy as jnp
+        self._jnp = jnp
+        self.model = model
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.blank = blank
+        self.cfg = fbank or KaldiFbankConfig()
+        enc = model.encoder if hasattr(model, "encoder") else None
+        # static chunk geometry (frames)
+        self.cur = model.encoder_center_chunk
+        self.right = model.encoder_right_chunk
+        self.chunk_frames = self.cur + self.right + 6
+        self.idim = model.idim
+        # streaming peak-normalization is impossible (norm is utterance
+        # level); a fixed gain stands in (documented deviation)
+        self.gain = peak_norm_fallback
+
+        self._samples = np.zeros(0, np.float32)
+        self._frames = np.zeros((0, self.idim), np.float32)
+        self._n_frames_done = 0
+        self._chunk_idx = 0
+        self._mems = None
+        self._tokens: List[int] = []
+        self._prev_emit = blank
+
+        self._jit_fbank = jax.jit(
+            lambda w: log_mel_fbank(w[None], jnp.asarray([w.shape[0]],
+                                                         jnp.int32),
+                                    self.cfg))
+        self._jit_chunk = jax.jit(self._encode_ctc)
+
+    def _encode_ctc(self, chunk, idx, mems, n_valid):
+        hs, new_mems = self.model.apply(
+            self.variables, chunk, idx, mems, n_valid,
+            method=lambda m, c, i, me, nv: m.encoder.encode_chunk(
+                c, i, me, n_valid=nv))
+        logits = self.model.apply(self.variables, hs,
+                                  method=lambda m, h: m.ctc(h))
+        return logits, new_mems
+
+    def accept_waveform(self, samples: np.ndarray) -> List[int]:
+        """Feed new samples; returns tokens newly committed."""
+        self._samples = np.concatenate(
+            [self._samples, np.asarray(samples, np.float32) * self.gain])
+        # frame i needs samples [160i, 160i+400)
+        sh, ws = self.cfg.window_shift, self.cfg.window_size
+        total_frames = max(0, 1 + (len(self._samples) - ws) // sh)
+        if total_frames > self._n_frames_done:
+            feats, _ = self._jit_fbank(
+                self._jnp.asarray(self._samples[: (total_frames - 1) * sh + ws]))
+            self._frames = np.asarray(feats[0])
+            self._n_frames_done = total_frames
+        return self._drain_chunks()
+
+    def _drain_chunks(self, final: bool = False) -> List[int]:
+        new_tokens: List[int] = []
+        while True:
+            start = self._chunk_idx * self.cur
+            end = start + self.chunk_frames
+            if end > len(self._frames):
+                if not (final and start < len(self._frames)):
+                    break
+            chunk = np.zeros((1, self.chunk_frames, self.idim), np.float32)
+            avail = self._frames[start: min(end, len(self._frames))]
+            chunk[0, : len(avail)] = avail
+            if self._mems is None:
+                self._mems = self.model.apply(
+                    self.variables, 1,
+                    method=lambda m, b: m.encoder.init_stream_state(b))
+            # keys beyond the known stream end are masked only at finalize
+            # (mid-stream, processed chunks are fully covered by real audio)
+            n_valid = len(self._frames) if final else end
+            logits, self._mems = self._jit_chunk(
+                self._jnp.asarray(chunk), self._chunk_idx, self._mems,
+                self._jnp.asarray([n_valid], self._jnp.int32))
+            self._chunk_idx += 1
+            ids = np.asarray(logits[0]).argmax(-1)
+            n_valid = min(self.cur // 4,
+                          max(0, (len(avail) + 3) // 4))
+            for t in ids[:n_valid]:
+                t = int(t)
+                if t != self._prev_emit and t != self.blank:
+                    new_tokens.append(t)
+                self._prev_emit = t
+        self._tokens.extend(new_tokens)
+        return new_tokens
+
+    def finalize(self) -> Tuple[List[int], str]:
+        """Flush remaining frames; returns (all tokens, decoded text)."""
+        self._drain_chunks(final=True)
+        if self.tokenizer is not None:
+            _, text = self.tokenizer.decode(list(self._tokens),
+                                            no_special=True)
+        else:
+            text = ""
+        return list(self._tokens), text

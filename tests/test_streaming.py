@@ -295,3 +295,43 @@ def test_dual_encoder_forward_per_chunk():
     rest, caches = enc.apply(vars_, x, caches, method=enc.forward_per_chunk)
     assert half.shape[1] + rest.shape[1] >= n
     assert np.all(np.isfinite(np.asarray(rest)))
+
+
+def test_streaming_recognizer_matches_offline_greedy():
+    """Feeding audio in small chunks must reproduce the full-utterance
+    streaming-encoder greedy decode."""
+    from lasr_tpu.decode.greedy import ctc_greedy_decode
+    from lasr_tpu.decode.online import StreamingRecognizer
+    from lasr_tpu.data.frontend import DeviceFrontend
+
+    model = E2E_Transformer_CTC_Online(
+        idim=80, odim=11,
+        encoder_attention_dim=16, encoder_attention_heads=2,
+        encoder_left_chunk=16, encoder_center_chunk=16,
+        encoder_right_chunk=16,
+        encoder_linear_units=32, encoder_num_blocks=1,
+        decoder_attention_dim=16, decoder_self_attention_heads=2,
+        decoder_src_attention_heads=2, decoder_linear_units=32,
+        decoder_num_block=1, encoder_dropout_rate=0.0,
+        decoder_dropout_rate=0.0, ctc_dropout=0.0)
+    rng = np.random.default_rng(0)
+    n = 16000
+    wav = (0.2 * np.sin(2 * np.pi * 440 * np.arange(n) / 16000)
+           + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+    fe = DeviceFrontend(["fbank:80"])
+    feats, feat_len = fe(jnp.asarray(wav[None]),
+                         jnp.asarray([n], jnp.int32))
+    vars_ = model.init(jax.random.PRNGKey(0), feats, feat_len,
+                       jnp.ones((1, 3), jnp.int32))
+    hs, hs_len = model.apply(vars_, feats, feat_len,
+                             method=model.encode_online)
+    logits = model.apply(vars_, hs, method=model.ctc_logits)
+    want = ctc_greedy_decode(logits, hs_len)[0]
+
+    rec = StreamingRecognizer(model, vars_)
+    got = []
+    for lo in range(0, n, 3333):  # ragged streaming chunks
+        got += rec.accept_waveform(wav[lo: lo + 3333])
+    tokens, _ = rec.finalize()
+    assert tokens == want, (tokens, want)
