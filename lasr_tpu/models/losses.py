@@ -128,7 +128,15 @@ def ctc_greedy_cer(ctc_out: np.ndarray, ctc_label: np.ndarray,
                    ignore_id: int = -1) -> float:
     """Host-side greedy-CTC CER proxy (data_utils.py:38-70). Call this
     periodically from the trainer, not inside the step (it syncs)."""
-    pred = np.argmax(ctc_out, axis=-1)
+    return ctc_greedy_cer_from_pred(np.argmax(ctc_out, axis=-1), ctc_label,
+                                    hs_len, blank_id, ignore_id)
+
+
+def ctc_greedy_cer_from_pred(pred: np.ndarray, ctc_label: np.ndarray,
+                             hs_len: np.ndarray, blank_id: int = 0,
+                             ignore_id: int = -1) -> float:
+    """Same as ``ctc_greedy_cer`` but over precomputed argmax ids (the
+    valid step ships ids, not the (B, T, V) posteriors)."""
     errs, total = 0, 0
     for i in range(pred.shape[0]):
         hyp = [k for k, _ in groupby(pred[i, : int(hs_len[i])])

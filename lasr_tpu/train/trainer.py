@@ -203,7 +203,13 @@ class Trainer:
         metrics = self.criterion.valid_forward(data)
         n = jnp.maximum(jnp.sum(wav_len > 0), 1)
         metrics["n_utts"] = n
-        return metrics
+        # host-side greedy-CER inputs (reference's valid ctc_cer,
+        # e2e_loss.py:38-46 — computed per validation batch, not per step)
+        ctc_out = data.get("ctc_out")
+        aux = {"ctc_pred": jnp.argmax(ctc_out, axis=-1),
+               "hs_len": data["hs_len"],
+               "ctc_label": ctc_label}
+        return metrics, aux
 
     def train_step(self, state: TrainState, batch: Dict):
         sb = shard_batch(self.mesh, batch)
@@ -348,15 +354,23 @@ class Trainer:
 
     def validate(self, state: TrainState, valid_dataset,
                  num_workers: int = 2) -> Dict[str, float]:
+        from lasr_tpu.models.losses import ctc_greedy_cer_from_pred
         totals: Dict[str, float] = {}
         n_batches = 0
         for batch in valid_dataset.batches(num_workers=num_workers):
-            metrics = self.valid_step(state, batch)
+            metrics, aux = self.valid_step(state, batch)
             metrics = jax.device_get(metrics)
+            aux = jax.device_get(aux)
+            n = batch["n_utts"]
+            cer = ctc_greedy_cer_from_pred(
+                np.asarray(aux["ctc_pred"][:n]),
+                np.asarray(aux["ctc_label"][:n]),
+                np.asarray(aux["hs_len"][:n]))
             for k, v in metrics.items():
                 if k == "n_utts":
                     continue
                 totals[k] = totals.get(k, 0.0) + float(v)
+            totals["ctc_cer"] = totals.get("ctc_cer", 0.0) + cer
             n_batches += 1
         return {k: v / max(n_batches, 1) for k, v in totals.items()}
 
