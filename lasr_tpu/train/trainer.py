@@ -315,7 +315,23 @@ class Trainer:
 
     def fit(self, state: TrainState, train_dataset, valid_dataset=None,
             num_epochs: int = 1, num_workers: int = 4,
-            save_checkpoints: bool = True) -> TrainState:
+            save_checkpoints: bool = True,
+            checkpoint_interval_steps: int = 0,
+            auto_resume: bool = False) -> TrainState:
+        """Run the training loop.
+
+        ``checkpoint_interval_steps`` > 0 additionally checkpoints mid-epoch
+        every N steps, and ``auto_resume`` restores the newest checkpoint if
+        one exists — together these give preemption recovery beyond the
+        reference's manual ``-resume_ckpt`` (SURVEY.md §5: the reference has
+        no failure-recovery subsystem).
+        """
+        if auto_resume and self.exp_dir:
+            mgr_last, _ = self._managers()
+            latest = mgr_last.latest_step()
+            if latest is not None:
+                state = self.restore_checkpoint(state, step=latest)
+                logging.info("auto-resumed from step %d", latest)
         metrics_path = os.path.join(self.exp_dir, "metrics.jsonl") \
             if self.exp_dir else None
         if metrics_path:
@@ -334,6 +350,10 @@ class Trainer:
                 if len(pending) >= self.log_interval:
                     self._flush_metrics(pending, epoch, metrics_path, t0)
                     pending = []
+                if checkpoint_interval_steps and save_checkpoints and \
+                        self.exp_dir and \
+                        int(state.step) % checkpoint_interval_steps == 0:
+                    self.save_checkpoint(state)
             if pending:
                 self._flush_metrics(pending, epoch, metrics_path, t0)
             valid_metrics = None

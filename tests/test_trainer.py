@@ -268,3 +268,20 @@ def test_tp_checkpoint_restore_keeps_sharding(toy, tmp_path):
     # and training continues
     state2, m2 = tr.train_step(state2, batch)
     assert np.isfinite(float(m2["loss_main"]))
+
+
+def test_auto_resume_and_interval_checkpoints(toy, tmp_path):
+    root, tok, ds = toy
+    exp = str(tmp_path / "exp_resume")
+    trainer, _ = _make_trainer(tok, exp_dir=exp)
+    batch = next(iter(ds.batches()))
+    state = trainer.init_state(batch)
+    state = trainer.fit(state, ds, num_epochs=1, num_workers=1,
+                        checkpoint_interval_steps=1)
+    steps_done = int(state.step)
+    assert steps_done >= 1
+    # a fresh trainer auto-resumes at the last step and continues
+    trainer2, _ = _make_trainer(tok, exp_dir=exp)
+    s2 = trainer2.init_state(batch)
+    s2 = trainer2.fit(s2, ds, num_epochs=1, num_workers=1, auto_resume=True)
+    assert int(s2.step) == steps_done * 2
