@@ -2,12 +2,15 @@
 
 .PHONY: test test-fast bench bench-decode native lint toy
 
+# note (axon images): every python process with the default PYTHONPATH
+# registers the TPU tunnel; concurrent clients get killed. CPU test runs
+# drop the axon site so they never touch the chip.
 test:
-	python -m pytest tests/ -q
+	env PYTHONPATH=$(PWD) JAX_PLATFORMS=cpu python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q --ignore=tests/test_e2e_toy.py \
-	    --ignore=tests/test_learning.py
+	env PYTHONPATH=$(PWD) JAX_PLATFORMS=cpu python -m pytest tests/ -q \
+	    --ignore=tests/test_e2e_toy.py --ignore=tests/test_learning.py
 
 bench:
 	python bench.py
