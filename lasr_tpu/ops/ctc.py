@@ -69,10 +69,12 @@ def ctc_forward_logprob(log_probs: jnp.ndarray, input_len: jnp.ndarray,
     alpha0 = alpha0.at[:, 1].set(jnp.where(has_lbl, a1, _NEG_INF))
     alpha0 = jnp.where(state_ok, alpha0, _NEG_INF)
 
-    # hoist the vocab gather out of the scan: one (B, T, S) lookup instead
-    # of T small (B, S)-from-(B, V) gathers inside the loop
-    emit_all = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, S)), axis=2)
+    # hoist the vocab lookup out of the scan as a one-hot contraction:
+    # gathers are slow on TPU, but selecting S lattice emissions from V
+    # classes is a (B,T,V)x(B,S,V) matmul the MXU eats for free
+    ext_onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)  # (B, S, V)
+    emit_all = jnp.einsum("btv,bsv->bts", log_probs, ext_onehot,
+                          precision=jax.lax.Precision.HIGHEST)
     emit_t = jnp.moveaxis(emit_all, 1, 0)  # (T, B, S)
 
     def step(alpha, inputs):
