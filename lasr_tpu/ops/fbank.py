@@ -181,10 +181,22 @@ def log_mel_fbank(wav: jnp.ndarray, wav_len: jnp.ndarray,
 
     x = wav.astype(jnp.float32) * cfg.audio_scale
 
-    # Framing: (B, F, ws) gather with static indices.
-    starts = jnp.arange(F, dtype=jnp.int32) * sh
-    idx = starts[:, None] + jnp.arange(ws, dtype=jnp.int32)[None, :]
-    frames = x[:, idx]  # (B, F, ws)
+    # Framing without gathers (gathers are slow on TPU): view the signal as
+    # shift-sized blocks and build each ws-sample frame from ceil(ws/sh)
+    # consecutive blocks via pure reshape/slice/concat.
+    n_blocks_needed = F + (ws + sh - 1) // sh
+    pad_to = n_blocks_needed * sh
+    xp = jnp.pad(x, ((0, 0), (0, max(0, pad_to - S))))
+    blocks = xp[:, : n_blocks_needed * sh].reshape(B, n_blocks_needed, sh)
+    pieces = []
+    covered = 0
+    k = 0
+    while covered < ws:
+        take = min(sh, ws - covered)
+        pieces.append(blocks[:, k: k + F, :take])
+        covered += take
+        k += 1
+    frames = jnp.concatenate(pieces, axis=-1)  # (B, F, ws)
 
     if cfg.remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
