@@ -81,10 +81,11 @@ def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank):
     """
     B, T, V = lpz.shape
 
-    # xs[b,k,c,t] = lpz[b,t,cand[b,k,c]]
-    xs = jnp.take_along_axis(
-        lpz[:, None, None], cand[:, :, :, None, None].astype(jnp.int32),
-        axis=-1)[..., 0]                                    # (B,K,C,T)
+    # xs[b,k,c,t] = lpz[b,t,cand[b,k,c]] — selected via a one-hot MXU
+    # contraction (exact) instead of a gather, which is slow on TPU
+    cand_onehot = jax.nn.one_hot(cand, V, dtype=lpz.dtype)   # (B,K,C,V)
+    xs = jnp.einsum("btv,bkcv->bkct", lpz, cand_onehot,
+                    precision=jax.lax.Precision.HIGHEST)     # (B,K,C,T)
 
     r_sum = _logaddexp(r_prev[..., 0], r_prev[..., 1])      # (B,K,T)
     same = cand == last_tok[:, :, None]                     # (B,K,C)
