@@ -55,8 +55,13 @@ def _time_warp_one(x: jnp.ndarray, t_len: jnp.ndarray, key, window: int) -> jnp.
 
     lo = jnp.floor(src).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, T - 1)
-    frac = (src - lo.astype(jnp.float32))[:, None]
-    warped_x = x[lo] * (1.0 - frac) + x[hi] * frac
+    frac = src - lo.astype(jnp.float32)
+    # gather-free interpolation: rows of a (T, T) two-entry mixing matrix
+    # select/blend source frames on the MXU (gathers are slow on TPU)
+    W = (jax.nn.one_hot(lo, T, dtype=jnp.float32) * (1.0 - frac)[:, None]
+         + jax.nn.one_hot(hi, T, dtype=jnp.float32) * frac[:, None])
+    warped_x = jnp.dot(W, x.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
     return jnp.where(do_warp, warped_x, x)
 
 
