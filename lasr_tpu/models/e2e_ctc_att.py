@@ -170,6 +170,7 @@ class E2E_Conformer_CTC(E2EBase):
     domain_dim: int = 0
     encoder_remat: bool = False
     encoder_use_pallas_attention: bool = False
+    encoder_scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -192,6 +193,7 @@ class E2E_Conformer_CTC(E2EBase):
             cnn_module_kernel=self.encoder_cnn_kernel,
             remat=self.encoder_remat,
             use_pallas_attention=self.encoder_use_pallas_attention,
+            scan_layers=self.encoder_scan_layers,
             dtype=self.dtype)
         self.decoder = Decoder(
             odim=self.odim,

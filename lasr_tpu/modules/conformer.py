@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from lasr_tpu.modules.attention import (
     MultiHeadedAttention, RelPositionMultiHeadedAttention)
@@ -154,6 +155,48 @@ class ConformerEncoderLayer(nn.Module):
         return x
 
 
+class _LayerCarry(struct.PyTreeNode):
+    """Scan carry: activations plus the (static) deterministic flag."""
+    x: jnp.ndarray
+    deterministic: bool = struct.field(pytree_node=False, default=True)
+
+
+class _ScanConformerLayer(nn.Module):
+    """nn.scan adapter: (carry, mask, pos_emb) → (carry, ())."""
+
+    size: int
+    attention_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    selfattention_layer_type: str = "selfattn"
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 1
+    macaron_style: bool = False
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    normalize_before: bool = True
+    concat_after: bool = False
+    use_pallas_attention: bool = False
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, mask, pos_emb):
+        layer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(4,)) \
+            if self.remat else ConformerEncoderLayer
+        layer = layer_cls(
+            self.size, self.attention_heads, self.linear_units,
+            self.dropout_rate, self.attention_dropout_rate,
+            self.selfattention_layer_type, self.positionwise_layer_type,
+            self.positionwise_conv_kernel_size, self.macaron_style,
+            self.use_cnn_module, self.cnn_module_kernel,
+            self.normalize_before, self.concat_after,
+            self.use_pallas_attention, dtype=self.dtype, name="block")
+        x = layer(carry.x, mask, pos_emb, carry.deterministic)
+        return carry.replace(x=x), ()
+
+
 class ConformerEncoder(nn.Module):
     """Conformer encoder stack (conformer/encoder.py:37-229)."""
 
@@ -177,6 +220,11 @@ class ConformerEncoder(nn.Module):
     cnn_module_kernel: int = 31
     remat: bool = False   # rematerialize layer activations (memory ↓, FLOPs ↑)
     use_pallas_attention: bool = False
+    # scan_layers stacks the identical blocks into one nn.scan: the layer is
+    # traced/lowered ONCE (params get a leading num_blocks axis), which cuts
+    # XLA compile time ~num_blocks-fold and — critically — means a single
+    # Mosaic compilation when use_pallas_attention is on
+    scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _pos_enc(self):
@@ -212,17 +260,35 @@ class ConformerEncoder(nn.Module):
             raise ValueError(f"unknown input_layer: {self.input_layer}")
         layer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(4,)) \
             if self.remat else ConformerEncoderLayer
-        self.encoders = [
-            layer_cls(
-                self.attention_dim, self.attention_heads, self.linear_units,
-                self.dropout_rate, self.attention_dropout_rate,
-                self.selfattention_layer_type, self.positionwise_layer_type,
-                self.positionwise_conv_kernel_size, self.macaron_style,
-                self.use_cnn_module, self.cnn_module_kernel,
-                self.normalize_before, self.concat_after,
-                self.use_pallas_attention,
-                dtype=self.dtype, name=f"layers_{i}")
-            for i in range(self.num_blocks)]
+        layer_kwargs = dict(
+            size=self.attention_dim, attention_heads=self.attention_heads,
+            linear_units=self.linear_units, dropout_rate=self.dropout_rate,
+            attention_dropout_rate=self.attention_dropout_rate,
+            selfattention_layer_type=self.selfattention_layer_type,
+            positionwise_layer_type=self.positionwise_layer_type,
+            positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
+            macaron_style=self.macaron_style,
+            use_cnn_module=self.use_cnn_module,
+            cnn_module_kernel=self.cnn_module_kernel,
+            normalize_before=self.normalize_before,
+            concat_after=self.concat_after,
+            use_pallas_attention=self.use_pallas_attention,
+            dtype=self.dtype)
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScanConformerLayer,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_blocks,
+                metadata_params={nn.PARTITION_NAME: "layers"})
+            self.encoders_scanned = scanned(remat=self.remat, name="layers",
+                                            **layer_kwargs)
+            self.encoders = []
+        else:
+            self.encoders = [
+                layer_cls(name=f"layers_{i}", **layer_kwargs)
+                for i in range(self.num_blocks)]
         if self.normalize_before:
             self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
 
@@ -251,8 +317,13 @@ class ConformerEncoder(nn.Module):
             if att_mask.ndim == 2:
                 att_mask = att_mask[None]
             mask = mask & att_mask
-        for layer in self.encoders:
-            h = layer(h, mask, pos_emb, deterministic)
+        if self.scan_layers:
+            h, _ = self.encoders_scanned(
+                _LayerCarry(h, deterministic), mask, pos_emb)
+            h = h.x
+        else:
+            for layer in self.encoders:
+                h = layer(h, mask, pos_emb, deterministic)
         if self.normalize_before:
             h = self.after_norm(h)
         return h, h_len

@@ -176,3 +176,52 @@ def test_convolution_module_shape():
     vars_ = m.init(jax.random.PRNGKey(1), x)
     out = m.apply(vars_, x)
     assert out.shape == (2, 10, 16)
+
+
+def test_conformer_scan_layers_matches_loop():
+    """scan_layers=True must compute exactly the loop version when the loop
+    version's per-layer params are stacked onto the scan layout."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+    kw = dict(idim=20, attention_dim=16, attention_heads=2, linear_units=32,
+              num_blocks=3, dropout_rate=0.0, pos_enc_layer_type="rel_pos",
+              selfattention_layer_type="rel_selfattn", use_cnn_module=True,
+              cnn_module_kernel=7)
+    loop_enc = ConformerEncoder(**kw)
+    scan_enc = ConformerEncoder(**kw, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 37, 20))
+    x_len = jnp.asarray([37, 20])
+    loop_vars = loop_enc.init(jax.random.PRNGKey(1), x, x_len)
+    scan_vars = scan_enc.init(jax.random.PRNGKey(1), x, x_len)
+
+    # restack loop params/batch_stats into the scan layout
+    def restack(coll):
+        flat = flatten_dict(coll)
+        out = {}
+        n = kw["num_blocks"]
+        for path, leaf in flat.items():
+            if path[0].startswith("layers_"):
+                i = int(path[0].split("_")[1])
+                key = ("layers", "block") + path[1:]
+                if key not in out:
+                    out[key] = [None] * n
+                out[key][i] = leaf
+            else:
+                out[path] = leaf
+        return unflatten_dict({k: (jnp.stack(v) if isinstance(v, list) else v)
+                               for k, v in out.items()})
+
+    stacked = {c: restack(loop_vars[c]) for c in loop_vars}
+    # shapes must agree with the scan init
+    jax.tree.map(lambda a, b: None if a.shape == b.shape else 1 / 0,
+                 stacked["params"], scan_vars["params"])
+
+    want, want_len = loop_enc.apply(loop_vars, x, x_len)
+    got, got_len = scan_enc.apply(stacked, x, x_len)
+    np.testing.assert_array_equal(np.asarray(want_len), np.asarray(got_len))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # train mode runs (dropout rngs split per layer; batch stats mutate)
+    out2, mut = scan_enc.apply(stacked, x, x_len, deterministic=False,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(2)})
+    assert "batch_stats" in mut

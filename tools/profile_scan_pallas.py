@@ -1,0 +1,46 @@
+"""Grad A/B at full 12 blocks: scan_layers x {pallas, xla}."""
+import json, sys, time
+import numpy as np
+sys.path.insert(0, ".")
+
+def main():
+    import jax, jax.numpy as jnp
+    from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
+    B, T, L = 32, 1558, 64
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((B, T, 80)), jnp.float32)
+    feat_len = jnp.full((B,), T, jnp.int32)
+    ys = jnp.asarray(rng.integers(6, 5000, (B, L)), jnp.int32)
+    for name, pallas in (("scan_pallas", True), ("scan_xla", False)):
+        model = E2E_Conformer_CTC(
+            idim=80, odim=5000, encoder_attention_dim=320,
+            encoder_attention_heads=8, encoder_linear_units=2048,
+            encoder_num_blocks=12, decoder_attention_dim=320,
+            decoder_attention_heads=8, decoder_linear_units=2048,
+            decoder_num_block=6, encoder_pos_enc_layer_type="rel_pos",
+            encoder_selfattention_layer_type="rel_selfattn",
+            encoder_use_pallas_attention=pallas, encoder_scan_layers=True,
+            dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), feats, feat_len, ys)
+        def fwd(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                feats, feat_len, ys, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"])
+            return (out["att_out"].astype(jnp.float32).sum()
+                    + out["ctc_out"].astype(jnp.float32).sum())
+        t0 = time.time()
+        g = jax.jit(lambda p: jax.grad(fwd)(p))
+        out = g(variables["params"])
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(10):
+            out = g(variables["params"])
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        print(json.dumps({f"grad_{name}_ms": (time.time()-t0)/10*1000,
+                          f"compile_{name}_s": compile_s}), flush=True)
+
+if __name__ == "__main__":
+    main()
