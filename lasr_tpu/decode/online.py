@@ -18,7 +18,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from lasr_tpu.ops.fbank import KaldiFbankConfig, log_mel_fbank
-from lasr_tpu.utils.text import greedy_ctc_tokens
 
 
 class StreamingRecognizer:
@@ -36,7 +35,6 @@ class StreamingRecognizer:
         self.tokenizer = tokenizer
         self.blank = blank
         self.cfg = fbank or KaldiFbankConfig()
-        enc = model.encoder if hasattr(model, "encoder") else None
         # static chunk geometry (frames)
         self.cur = model.encoder_center_chunk
         self.right = model.encoder_right_chunk
