@@ -69,7 +69,8 @@ def _ctc_initial_state(lpz: jnp.ndarray, blank: int) -> jnp.ndarray:
     return jnp.stack([r_n, r_b], axis=-1)
 
 
-def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank):
+def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank,
+                     want_psi_all: bool = False):
     """Vectorized CTCPrefixScore.__call__ over (B, K, C) candidates.
 
     lpz: (B, T, V) log-probs with the blank column zeroed past each
@@ -77,7 +78,12 @@ def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank):
     last_tok: (B, K); cand: (B, K, C); out_len: scalar current prefix
     length (uniform — every live hyp has been extended once per step).
 
-    Returns (psi (B,K,C) prefix scores, r_new (B,K,C,T,2) next DP states).
+    Returns (psi (B,K,C) prefix scores, r_new (B,K,C,T,2) next DP states,
+    psi_all (B,K,C,T) per-frame prefix scores or None).  ``psi_all`` feeds
+    the truncated (TCTC) frontier rule: the lazily-extended forward
+    variables of TCTCPrefixScore (ctc_prefix_score.py:191-315) equal the
+    full recursion at every computed frame, so truncation only changes
+    WHICH frame the score is read at — recoverable from the full-T scan.
     """
     B, T, V = lpz.shape
 
@@ -114,15 +120,21 @@ def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank):
         rn = jnp.where(active, new_rn, rn)
         rb = jnp.where(active, new_rb, rb)
         psi = jnp.where(active, new_psi, psi)
-        return (rn, rb, psi), (rn, rb)
+        out = (rn, rb, psi) if want_psi_all else (rn, rb)
+        return (rn, rb, psi), out
 
-    (_, _, psi), (rn_seq, rb_seq) = jax.lax.scan(
+    (_, _, psi), seqs = jax.lax.scan(
         body, (r0_n, r0_b, psi0), jnp.arange(1, T))
+    rn_seq, rb_seq = seqs[0], seqs[1]
     rn_full = jnp.concatenate([r0_n[None], rn_seq], axis=0)  # (T,B,K,C)
     rb_full = jnp.concatenate([r0_b[None], rb_seq], axis=0)
     r_new = jnp.stack([jnp.moveaxis(rn_full, 0, -1),
                        jnp.moveaxis(rb_full, 0, -1)], axis=-1)
-    return psi, r_new
+    psi_all = None
+    if want_psi_all:
+        psi_all = jnp.moveaxis(
+            jnp.concatenate([psi0[None], seqs[2]], axis=0), 0, -1)
+    return psi, r_new, psi_all
 
 
 class CTCAttBeamDecoder:
@@ -149,11 +161,25 @@ class CTCAttBeamDecoder:
         self.penalty = penalty
         self.maxlenratio = maxlenratio
         self.minlenratio = minlenratio
-        # online=True decodes over the model's STREAMING encoder forward
-        # (encoder_forward_online, e2e_transformer_online.py:55-58); the
-        # search itself then scores full streamed context — the reference's
-        # final-rescore quality path (truncated TCTC scoring is a follow-up)
+        # online=True reproduces decode_feat_online (ctc_att_decoder.py:
+        # 336-519): the model's STREAMING encoder forward plus TRUNCATED
+        # CTC prefix scoring (TCTCPrefixScore, ctc_prefix_score.py:191-334)
+        # with online end detection and a final full-length CTC rescore of
+        # ended hypotheses.  Differences from offline mode, all preserved:
+        #   - the attention prescreen keeps the FULL vocab (blank is a
+        #     legal candidate, ctc_att_decoder.py:411-412);
+        #   - each hypothesis carries a CTC frontier `end`: the first frame
+        #     at/after its parent's frontier where no candidate's prefix
+        #     score improves; candidate scores are read at end-1 and an eos
+        #     candidate scores r_sum[min(end, T-1)];
+        #   - end detection requires every live hypothesis's frontier to
+        #     reach T AND Watanabe-style no-better-longer-hyp saturation
+        #     (end_detect_online, ctc_att_decoder.py:555-594);
+        #   - ended hypotheses whose frontier stopped short of T are
+        #     final-rescored as w·ctc_full + att_score, dropping the length
+        #     penalty bonus (ctc_att_decoder.py:498-504).
         self.online = online
+        self.tctc = online
         self._jit_search = jax.jit(self._search, static_argnames=("max_len",))
 
     def _encode(self, feats, feat_len):
@@ -189,7 +215,12 @@ class CTCAttBeamDecoder:
         B, T, _ = hs.shape
         V = lpz.shape[-1]
         K = self.beam
-        C = min(self.ctc_beam, V - 1)
+        if self.tctc:
+            # online prescreen spans the full vocab (ctc_att_decoder.py:
+            # 377-382: ctc_beam = V when ctc_weight == 1.0)
+            C = V if self.ctc_weight == 1.0 else min(self.ctc_beam, V)
+        else:
+            C = min(self.ctc_beam, V - 1)
         E = 2 * K                      # ended pool size
         Lmax = max_len + 2             # sos + tokens + final free eos
 
@@ -225,6 +256,14 @@ class CTCAttBeamDecoder:
         ended_tok = jnp.full((B, E, Lmax), -1, jnp.int32)
         best_by_len = jnp.full((B, Lmax + 2), LOG_ZERO)
         row_done = jnp.zeros((B,), bool)
+        # TCTC state: per-hyp CTC frontier (initial_state covers one frame,
+        # ctc_prefix_score.py:209-224), accumulated (1-w)·att score, and the
+        # ended pool's rescore inputs
+        frontier = jnp.ones((B, K), jnp.int32)
+        att_lm = jnp.zeros((B, K), jnp.float32)
+        ended_att_lm = jnp.zeros((B, E), jnp.float32)
+        ended_rescore = jnp.zeros((B, E), jnp.float32)
+        ended_need = jnp.zeros((B, E), bool)
         row_maxlen = jnp.minimum(hs_len, max_len)
         # reference: ended hyps kept only when len(yseq) > minlen, with a
         # per-step length bonus `(i+1)·penalty` (ctc_att_decoder.py:295-302)
@@ -238,28 +277,68 @@ class CTCAttBeamDecoder:
 
         state0 = (jnp.zeros((), jnp.int32), tokens, score, ctc_prev, r_state,
                   last_tok, alive, cache, ended_score, ended_len, ended_tok,
-                  best_by_len, row_done)
+                  best_by_len, row_done, frontier, att_lm, ended_att_lm,
+                  ended_rescore, ended_need)
 
         def cond(state):
-            return (state[0] < max_len) & ~jnp.all(state[-1])
+            return (state[0] < max_len) & ~jnp.all(state[12])
 
         def step(state):
             (i, tokens, score, ctc_prev, r_state, last_tok, alive, cache,
-             ended_score, ended_len, ended_tok, best_by_len, row_done) = state
+             ended_score, ended_len, ended_tok, best_by_len, row_done,
+             frontier, att_lm, ended_att_lm, ended_rescore,
+             ended_need) = state
 
             logp, new_cache = self.model.apply(
                 self.variables, flat(last_tok), i, cache, mem_k, mem_v,
                 mem_mask, method=self.model.decoder_step)
             att_logp = unflat(logp).astype(jnp.float32)      # (B,K,V)
 
-            # prescreen: top-C attention candidates excluding blank
-            att_nb = att_logp.at[:, :, self.blank].set(LOG_ZERO)
-            cand_att, cand_ids = jax.lax.top_k(att_nb, C)    # (B,K,C)
+            if self.tctc:
+                # online prescreen keeps the full vocab incl. blank
+                # (ctc_att_decoder.py:411-412)
+                cand_att, cand_ids = jax.lax.top_k(att_logp, C)
+            else:
+                # offline prescreen excludes the blank row
+                # (ctc_att_decoder.py:240-242: topk(att[:,1:]) + 1)
+                att_nb = att_logp.at[:, :, self.blank].set(LOG_ZERO)
+                cand_att, cand_ids = jax.lax.top_k(att_nb, C)  # (B,K,C)
 
-            psi, r_cand = _ctc_prefix_step(lpz, r_state, last_tok, cand_ids,
-                                           i, self.blank)
-            r_sum_last = _logaddexp(r_state[..., -1, 0], r_state[..., -1, 1])
-            psi = jnp.where(cand_ids == self.eos, r_sum_last[..., None], psi)
+            psi, r_cand, psi_all = _ctc_prefix_step(
+                lpz, r_state, last_tok, cand_ids, i, self.blank,
+                want_psi_all=self.tctc)
+            r_sum = _logaddexp(r_state[..., 0], r_state[..., 1])  # (B,K,T)
+            r_sum_last = r_sum[..., -1]
+            if self.tctc:
+                # frontier rule (ctc_prefix_score.py:283-305): first frame
+                # t >= prev frontier where NO candidate's prefix score
+                # improves; frames past hs_len stall by construction (the
+                # reference recursion stops at the true length, and free
+                # blank padding would otherwise let a blank candidate keep
+                # "improving")
+                t_rng = jnp.arange(1, T)[None, None, :]
+                stall = ~jnp.any(
+                    psi_all[..., 1:] - psi_all[..., :-1] > 0.0, axis=2)
+                stall = stall | (t_rng >= hs_len[:, None, None])
+                valid = stall & (t_rng >= frontier[..., None])   # (B,K,T-1)
+                found = jnp.any(valid, axis=-1)
+                end = jnp.where(found, jnp.argmax(valid, axis=-1) + 1, T)
+                # candidate scores are read at the frontier: psi[end-1]
+                sel_end = jax.nn.one_hot(end - 1, T, dtype=psi_all.dtype)
+                psi = jnp.einsum("bkct,bkt->bkc", psi_all, sel_end,
+                                 precision=jax.lax.Precision.HIGHEST)
+                # eos scores the prefix's complete-sequence probability at
+                # the frontier: s_sum = r_sum[min(end, T-1)]
+                # (ctc_prefix_score.py:282-309)
+                sel_s = jax.nn.one_hot(jnp.minimum(end, T - 1), T,
+                                       dtype=r_sum.dtype)
+                s_sum = jnp.einsum("bkt,bkt->bk", r_sum, sel_s,
+                                   precision=jax.lax.Precision.HIGHEST)
+                psi = jnp.where(cand_ids == self.eos, s_sum[..., None], psi)
+            else:
+                end = frontier  # unused
+                psi = jnp.where(cand_ids == self.eos,
+                                r_sum_last[..., None], psi)
 
             joint = ((1.0 - self.ctc_weight) * cand_att
                      + self.ctc_weight * (psi - ctc_prev[..., None]))
@@ -282,6 +361,16 @@ class CTCAttBeamDecoder:
             new_r = gsel(r_cand.reshape(B, K * C, T, 2), top_idx)
             parent_alive = jnp.take_along_axis(alive, parent, axis=1)
             ok = parent_alive & (top_score > LOG_ZERO / 2) & ~row_done[:, None]
+
+            # TCTC bookkeeping: children inherit the parent's new frontier
+            # (shared across its candidates); att_lm accumulates the
+            # attention-only part (1-w)·att of each selected token
+            # (ctc_att_decoder.py:422-425, 447)
+            new_frontier = jnp.take_along_axis(end, parent, axis=1)
+            sel_att = jnp.take_along_axis(
+                cand_att.reshape(B, K * C), top_idx, axis=1)
+            new_att_lm = jnp.take_along_axis(att_lm, parent, axis=1) \
+                + (1.0 - self.ctc_weight) * sel_att
 
             is_eos = (sel_tok == self.eos) & ok
             hyp_len = i + 2  # len(yseq) incl. sos + this token
@@ -313,6 +402,27 @@ class CTCAttBeamDecoder:
             ended_tok = jnp.take_along_axis(pool_tok, keep_idx[..., None],
                                             axis=1)
 
+            if self.tctc:
+                # rescore inputs for ended hyps whose frontier stopped
+                # short of the true length (ctc_att_decoder.py:498-504):
+                # the full-length complete-sequence CTC probability is the
+                # parent prefix's r_sum[T-1] for a natural eos ender and
+                # the child prefix's for a forced final-step ender (free
+                # blank padding makes r_sum[T_pad-1] == r_sum[hs_len-1])
+                rescore_nat = jnp.take_along_axis(r_sum_last, parent, axis=1)
+                rescore_frc = _logaddexp(new_r[..., -1, 0],
+                                         new_r[..., -1, 1])
+                need = new_frontier < hs_len[:, None]
+                pool_att = jnp.concatenate(
+                    [ended_att_lm, new_att_lm, new_att_lm], 1)
+                pool_res = jnp.concatenate(
+                    [ended_rescore, rescore_nat, rescore_frc], 1)
+                pool_need = jnp.concatenate(
+                    [ended_need, need & is_eos, need & forced], 1)
+                ended_att_lm = jnp.take_along_axis(pool_att, keep_idx, 1)
+                ended_rescore = jnp.take_along_axis(pool_res, keep_idx, 1)
+                ended_need = jnp.take_along_axis(pool_need, keep_idx, 1)
+
             # best-score-by-length table (end detection keys off len(yseq))
             nat_best = jnp.max(nat_score, axis=1)
             frc_best = jnp.max(frc_score, axis=1)
@@ -329,29 +439,64 @@ class CTCAttBeamDecoder:
             new_cache = jax.tree.map(
                 lambda x: jnp.take(x, flat_parent, axis=1), new_cache)
 
-            # Watanabe Eq. 50: M consecutive lengths below best by D_end
-            best_overall = jnp.max(ended_score, axis=1)
+            def by_len(L):
+                idx = jnp.full((B, 1), jnp.maximum(L, 0), jnp.int32)
+                return jnp.take_along_axis(best_by_len, idx, axis=1)[:, 0]
 
-            def length_flag(m):
-                L_m = jnp.maximum(i - m, 0)
-                val = jnp.take_along_axis(
-                    best_by_len, jnp.full((B, 1), L_m), axis=1)[:, 0]
-                return (i - m >= 0) & (val > LOG_ZERO / 2) & \
-                    (val - best_overall < D_END)
+            if self.tctc:
+                # end_detect_online (ctc_att_decoder.py:555-594): every
+                # live hyp's CTC frontier reached the true length AND the
+                # longest ended length (i+2) scores at least D_end below
+                # the best ended hyp at each of the M previous lengths
+                flag1 = jnp.all(
+                    jnp.where(new_alive,
+                              new_frontier == hs_len[:, None], True), axis=1)
+                long_val = by_len(i + 2)
 
-            flags = jnp.stack([length_flag(m) for m in range(M_END)])
-            end_detected = jnp.all(flags, axis=0) & \
-                (best_overall > LOG_ZERO / 2)
+                def length_flag(m):
+                    val = by_len(i + 1 - m)
+                    return (i + 1 - m >= 0) & (val > LOG_ZERO / 2) & \
+                        (long_val - val < D_END)
+
+                flags = jnp.stack([length_flag(m) for m in range(M_END)])
+                end_detected = flag1 & (long_val > LOG_ZERO / 2) & \
+                    jnp.all(flags, axis=0)
+            else:
+                # Watanabe Eq. 50: M consecutive lengths below best by D_end
+                best_overall = jnp.max(ended_score, axis=1)
+
+                def length_flag(m):
+                    val = by_len(i - m)
+                    return (i - m >= 0) & (val > LOG_ZERO / 2) & \
+                        (val - best_overall < D_END)
+
+                flags = jnp.stack([length_flag(m) for m in range(M_END)])
+                end_detected = jnp.all(flags, axis=0) & \
+                    (best_overall > LOG_ZERO / 2)
+            if self.maxlenratio != 0.0:
+                # reference gates end detection on maxlenratio == 0
+                # (ctc_att_decoder.py:305-307, 486)
+                end_detected = jnp.zeros_like(end_detected)
             no_hyps = ~jnp.any(new_alive, axis=1)
             new_row_done = row_done | end_detected | no_hyps | \
                 (i + 1 >= row_maxlen)
 
             return (i + 1, new_tokens, new_score, new_ctc_prev, new_r,
                     sel_tok, new_alive, new_cache, ended_score, ended_len,
-                    ended_tok, best_by_len, new_row_done)
+                    ended_tok, best_by_len, new_row_done, new_frontier,
+                    new_att_lm, ended_att_lm, ended_rescore, ended_need)
 
         final = jax.lax.while_loop(cond, step, state0)
         ended_score, ended_len, ended_tok = final[8], final[9], final[10]
+        if self.tctc:
+            # final rescore of truncated enders: w·ctc_full + att score,
+            # REPLACING the stored score (the length-penalty bonus is
+            # dropped, a reference quirk — ctc_att_decoder.py:498-504)
+            ended_att_lm, ended_rescore, ended_need = (
+                final[15], final[16], final[17])
+            ended_score = jnp.where(
+                ended_need,
+                self.ctc_weight * ended_rescore + ended_att_lm, ended_score)
         nb = min(self.nbest, E)
         top_score, top_idx = jax.lax.top_k(ended_score, nb)
         out_tok = jnp.take_along_axis(ended_tok, top_idx[..., None], axis=1)

@@ -335,3 +335,43 @@ def test_streaming_recognizer_matches_offline_greedy():
         got += rec.accept_waveform(wav[lo: lo + 3333])
     tokens, _ = rec.finalize()
     assert tokens == want, (tokens, want)
+
+
+def test_online_beam_matches_reference_tctc():
+    """online=True must reproduce the reference decode_feat_online: the
+    truncated (TCTC) CTC prefix scoring, online end detection, and the
+    final full-length CTC rescore — tokens AND scores, validated against
+    a dict-based replica driving the ACTUAL reference TCTCPrefixScore."""
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from tests.ref_beam_online import ref_online_beam_search
+    model = E2E_Transformer_CTC_Online(
+        idim=80, odim=11,
+        encoder_attention_dim=16, encoder_attention_heads=2,
+        encoder_left_chunk=16, encoder_center_chunk=16,
+        encoder_right_chunk=16,
+        encoder_linear_units=32, encoder_num_blocks=1,
+        decoder_attention_dim=16, decoder_self_attention_heads=2,
+        decoder_src_attention_heads=2, decoder_linear_units=32,
+        decoder_num_block=1, encoder_dropout_rate=0.0,
+        decoder_dropout_rate=0.0, ctc_dropout=0.0,
+        decoder_src_attention_sigmoid_noise=0.0)
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((2, 120, 80)), jnp.float32)
+    feat_len = jnp.asarray([120, 96], jnp.int32)
+    ys = jnp.asarray(rng.integers(1, 11, (2, 4)))
+    vars_ = model.init(jax.random.PRNGKey(0), feats, feat_len, ys)
+
+    dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5,
+                            ctc_weight=0.4, online=True)
+    out = dec(feats, feat_len)
+
+    for b in range(2):
+        ref = ref_online_beam_search(
+            model, vars_, feats[b:b + 1], feat_len[b:b + 1],
+            beam=3, ctc_beam=5, ctc_weight=0.4)
+        assert ref, "reference produced no hypotheses"
+        want = ref[0]["yseq"]
+        n = int(out.lengths[b, 0])
+        got = out.tokens[b, 0, :n].tolist()
+        assert got == want, (b, got, want)
+        assert out.scores[b, 0] == pytest.approx(ref[0]["score"], abs=3e-3)
