@@ -149,10 +149,18 @@ class CTCAttBeamDecoder:
                  ctc_weight: float = 0.5, penalty: float = 0.0,
                  lm_weight: float = 0.0, blank: int = 0,
                  maxlenratio: float = 0.0, minlenratio: float = 0.0,
-                 online: bool = False):
-        if lm_weight:
-            raise NotImplementedError(
-                "shallow LM fusion lands with the RNNLM stack")
+                 online: bool = False, lm=None):
+        # shallow RNNLM fusion (ctc_att_decoder.py:231-251, 402-425):
+        # joint += lm_weight·lm[cs]; the candidate prescreen stays
+        # attention-only.  `lm` is an RNNLM wrapper (modules/rnn.py:117)
+        # or a (module, variables) pair; its recurrent state rides the
+        # beam and is reordered by parent each step like the KV cache.
+        if lm is not None and hasattr(lm, "module"):
+            lm = (lm.module, lm.variables)
+        self.lm = lm
+        self.lm_weight = lm_weight if lm is not None else 0.0
+        if lm_weight and lm is None:
+            raise ValueError("lm_weight set but no lm provided")
         self.model = model
         self.variables = variables
         self.sos, self.eos, self.blank = sos, eos, blank
@@ -240,6 +248,11 @@ class CTCAttBeamDecoder:
 
         cache = self.model.apply(self.variables, B * K, Lmax,
                                  method=self.model.decoder_init_cache)
+        if self.lm is not None:
+            lm_module, _ = self.lm
+            lm_state = lm_module.zero_state(B * K)  # hyperparams only
+        else:
+            lm_state = ()
 
         tokens = jnp.full((B, K, Lmax), -1, jnp.int32).at[:, :, 0].set(self.sos)
         score = jnp.broadcast_to(
@@ -278,7 +291,7 @@ class CTCAttBeamDecoder:
         state0 = (jnp.zeros((), jnp.int32), tokens, score, ctc_prev, r_state,
                   last_tok, alive, cache, ended_score, ended_len, ended_tok,
                   best_by_len, row_done, frontier, att_lm, ended_att_lm,
-                  ended_rescore, ended_need)
+                  ended_rescore, ended_need, lm_state)
 
         def cond(state):
             return (state[0] < max_len) & ~jnp.all(state[12])
@@ -286,13 +299,22 @@ class CTCAttBeamDecoder:
         def step(state):
             (i, tokens, score, ctc_prev, r_state, last_tok, alive, cache,
              ended_score, ended_len, ended_tok, best_by_len, row_done,
-             frontier, att_lm, ended_att_lm, ended_rescore,
-             ended_need) = state
+             frontier, att_lm, ended_att_lm, ended_rescore, ended_need,
+             lm_state) = state
 
             logp, new_cache = self.model.apply(
                 self.variables, flat(last_tok), i, cache, mem_k, mem_v,
                 mem_mask, method=self.model.decoder_step)
             att_logp = unflat(logp).astype(jnp.float32)      # (B,K,V)
+
+            if self.lm is not None:
+                lm_module, lm_vars = self.lm
+                new_lm_state, lm_logits = lm_module.apply(
+                    lm_vars, lm_state, flat(last_tok))
+                lm_logp = unflat(jax.nn.log_softmax(
+                    lm_logits.astype(jnp.float32)))          # (B,K,V)
+            else:
+                new_lm_state, lm_logp = lm_state, None
 
             if self.tctc:
                 # online prescreen keeps the full vocab incl. blank
@@ -340,8 +362,16 @@ class CTCAttBeamDecoder:
                 psi = jnp.where(cand_ids == self.eos,
                                 r_sum_last[..., None], psi)
 
-            joint = ((1.0 - self.ctc_weight) * cand_att
-                     + self.ctc_weight * (psi - ctc_prev[..., None]))
+            # attention(+lm) part of the joint score; also what ended hyps
+            # keep as att_lm_score (ctc_att_decoder.py:422-425)
+            cand_attlm = (1.0 - self.ctc_weight) * cand_att
+            if self.lm is not None:
+                lm_cand = jnp.einsum(
+                    "bkv,bkcv->bkc", lm_logp,
+                    jax.nn.one_hot(cand_ids, V, dtype=lm_logp.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
+                cand_attlm = cand_attlm + self.lm_weight * lm_cand
+            joint = cand_attlm + self.ctc_weight * (psi - ctc_prev[..., None])
             total = score[..., None] + joint                 # (B,K,C)
             total = jnp.where(alive[..., None], total, LOG_ZERO)
 
@@ -367,10 +397,10 @@ class CTCAttBeamDecoder:
             # attention-only part (1-w)·att of each selected token
             # (ctc_att_decoder.py:422-425, 447)
             new_frontier = jnp.take_along_axis(end, parent, axis=1)
-            sel_att = jnp.take_along_axis(
-                cand_att.reshape(B, K * C), top_idx, axis=1)
+            sel_attlm = jnp.take_along_axis(
+                cand_attlm.reshape(B, K * C), top_idx, axis=1)
             new_att_lm = jnp.take_along_axis(att_lm, parent, axis=1) \
-                + (1.0 - self.ctc_weight) * sel_att
+                + sel_attlm
 
             is_eos = (sel_tok == self.eos) & ok
             hyp_len = i + 2  # len(yseq) incl. sos + this token
@@ -438,6 +468,11 @@ class CTCAttBeamDecoder:
             flat_parent = (parent + jnp.arange(B)[:, None] * K).reshape(-1)
             new_cache = jax.tree.map(
                 lambda x: jnp.take(x, flat_parent, axis=1), new_cache)
+            if self.lm is not None:
+                new_lm = jax.tree.map(
+                    lambda x: jnp.take(x, flat_parent, axis=0), new_lm_state)
+            else:
+                new_lm = new_lm_state
 
             def by_len(L):
                 idx = jnp.full((B, 1), jnp.maximum(L, 0), jnp.int32)
@@ -484,7 +519,8 @@ class CTCAttBeamDecoder:
             return (i + 1, new_tokens, new_score, new_ctc_prev, new_r,
                     sel_tok, new_alive, new_cache, ended_score, ended_len,
                     ended_tok, best_by_len, new_row_done, new_frontier,
-                    new_att_lm, ended_att_lm, ended_rescore, ended_need)
+                    new_att_lm, ended_att_lm, ended_rescore, ended_need,
+                    new_lm)
 
         final = jax.lax.while_loop(cond, step, state0)
         ended_score, ended_len, ended_tok = final[8], final[9], final[10]

@@ -58,8 +58,13 @@ class RefCTCPrefixScore:
 
 
 def ref_beam_search(model, variables, feats, feat_len, *, sos=1, eos=2,
-                    blank=0, beam=5, ctc_beam=8, ctc_weight=0.5):
-    """Single-utterance reference search. feats: (1, T, D)."""
+                    blank=0, beam=5, ctc_beam=8, ctc_weight=0.5,
+                    lm=None, lm_weight=0.0):
+    """Single-utterance reference search. feats: (1, T, D).
+
+    With ``lm`` (an RNNLM wrapper): shallow fusion per the reference —
+    attention-only prescreen, joint += lm_weight·lm[cs]
+    (ctc_att_decoder.py:231-251)."""
     hs, hs_len = model.apply(variables, feats, feat_len, method=model.encode)
     T = int(hs_len[0])
     hs = hs[:, :T]
@@ -79,7 +84,8 @@ def ref_beam_search(model, variables, feats, feat_len, *, sos=1, eos=2,
 
     maxlen = T
     hyp = {"score": 0.0, "yseq": [sos],
-           "ctc_state": scorer.initial_state(), "ctc_score": 0.0}
+           "ctc_state": scorer.initial_state(), "ctc_score": 0.0,
+           "lm_state": None}
     hyps = [hyp]
     ended = []
     V = lpz.shape[-1]
@@ -92,12 +98,19 @@ def ref_beam_search(model, variables, feats, feat_len, *, sos=1, eos=2,
             psi, states = scorer(hyp["yseq"], order, hyp["ctc_state"])
             local = (1.0 - ctc_weight) * logp[order] \
                 + ctc_weight * (psi - hyp["ctc_score"])
+            lm_state = hyp["lm_state"]
+            if lm is not None:
+                lm_state, lm_logp = lm.predict(
+                    np.asarray([hyp["yseq"][-1]]), hyp["lm_state"])
+                local = local + lm_weight * np.asarray(
+                    lm_logp[0], np.float64)[order]
             top = np.argsort(local)[::-1][:beam]
             for j in top:
                 best_kept.append({
                     "score": hyp["score"] + float(local[j]),
                     "yseq": hyp["yseq"] + [int(order[j])],
-                    "ctc_state": states[j], "ctc_score": float(psi[j])})
+                    "ctc_state": states[j], "ctc_score": float(psi[j]),
+                    "lm_state": lm_state})
         hyps = sorted(best_kept, key=lambda x: -x["score"])[:beam]
         if i == maxlen - 1:
             for h in hyps:

@@ -71,3 +71,29 @@ def test_beam_batch_invariance(tiny_model):
     n = int(both.lengths[1, 0])
     m = int(solo.lengths[0, 0])
     assert both.tokens[1, 0, :n].tolist() == solo.tokens[0, 0, :m].tolist()
+
+
+def test_beam_with_rnnlm_matches_replica(tiny_model):
+    """Shallow RNNLM fusion: joint += lm_weight*lm[cs], LM state rides the
+    beam — must match the dict-based replica (tokens and scores)."""
+    from lasr_tpu.modules.rnn import RNNCellStack, RNNLM
+    model, variables, feats, feat_len = tiny_model
+    lm_mod = RNNCellStack(input_dim=12, output_dim=12, n_layers=1,
+                          n_units=8, dropout_rate=0.0)
+    lm_vars = lm_mod.init(jax.random.PRNGKey(7), None,
+                          jnp.zeros((1,), jnp.int32))
+    lm = RNNLM(lm_mod, lm_vars)
+
+    dec = CTCAttBeamDecoder(model, variables, beam=4, ctc_beam=6,
+                            ctc_weight=0.4, lm_weight=0.3, lm=lm)
+    out = dec(feats, feat_len)
+    for b in range(2):
+        ref = ref_beam_search(
+            model, variables, feats[b:b + 1], feat_len[b:b + 1],
+            beam=4, ctc_beam=6, ctc_weight=0.4, lm=lm, lm_weight=0.3)
+        assert ref, "reference produced no hypotheses"
+        want = ref[0]["yseq"]
+        n = int(out.lengths[b, 0])
+        got = out.tokens[b, 0, :n].tolist()
+        assert got == want, (b, got, want)
+        assert out.scores[b, 0] == pytest.approx(ref[0]["score"], abs=2e-3)
