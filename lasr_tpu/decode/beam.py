@@ -61,6 +61,18 @@ def _logaddexp(a, b):
     return jnp.where(m <= LOG_ZERO, LOG_ZERO, out)
 
 
+def _semimat(a, b):
+    """Log-semiring (logsumexp, +) matrix product a ⊙ b over the last two
+    axes: out[i,j] = LSE_k(a[i,k] + b[k,j]), with LOG_ZERO sentinels kept
+    stable (contributions at/below LOG_ZERO collapse exactly)."""
+    s = a[..., :, :, None] + b[..., None, :, :]
+    m = jnp.max(s, axis=-2)
+    m_safe = jnp.maximum(m, LOG_ZERO)
+    out = m_safe + jnp.log(
+        jnp.sum(jnp.exp(s - m_safe[..., None, :]), axis=-2))
+    return jnp.where(m <= LOG_ZERO, LOG_ZERO, out)
+
+
 def _ctc_initial_state(lpz: jnp.ndarray, blank: int) -> jnp.ndarray:
     """(r^n, r^b) of the empty prefix: cumulative blank path. (B, T, 2)."""
     B, T, _ = lpz.shape
@@ -70,7 +82,7 @@ def _ctc_initial_state(lpz: jnp.ndarray, blank: int) -> jnp.ndarray:
 
 
 def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank,
-                     want_psi_all: bool = False):
+                     want_psi_all: bool = False, parallel_scan: bool = True):
     """Vectorized CTCPrefixScore.__call__ over (B, K, C) candidates.
 
     lpz: (B, T, V) log-probs with the blank column zeroed past each
@@ -84,6 +96,20 @@ def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank,
     variables of TCTCPrefixScore (ctc_prefix_score.py:191-315) equal the
     full recursion at every computed frame, so truncation only changes
     WHICH frame the score is read at — recoverable from the full-T scan.
+
+    ``parallel_scan=True`` computes the recursion as a 3x3 log-semiring
+    matrix ``associative_scan`` instead of a length-T sequential scan: the
+    Watanabe recursion is a first-order AFFINE recurrence in the
+    (logsumexp, +) semiring once log_phi is known —
+
+        [r^n, r^b, 1]_t = M_t ⊙ [r^n, r^b, 1]_{t-1},
+        M_t = [[xs_t, -inf, xs_t + phi_{t-1}],
+               [blk_t, blk_t, -inf],
+               [-inf, -inf, 0]]
+
+    — so all T states come out of an O(log T)-depth scan of large fused
+    elementwise ops, where the sequential scan is latency-bound on TPU
+    (T tiny kernels inside the beam while_loop).
     """
     B, T, V = lpz.shape
 
@@ -105,6 +131,10 @@ def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank,
     r0_n = jnp.where(out_len == 0, xs[..., 0], LOG_ZERO)    # (B,K,C)
     r0_b = jnp.full_like(r0_n, LOG_ZERO)
     psi0 = r0_n
+
+    if parallel_scan:
+        return _ctc_prefix_parallel(xs, log_phi, blank_lp, start, r0_n,
+                                    r0_b, psi0, want_psi_all)
 
     def body(carry, t):
         rn, rb, psi = carry
@@ -137,6 +167,55 @@ def _ctc_prefix_step(lpz, r_prev, last_tok, cand, out_len, blank,
     return psi, r_new, psi_all
 
 
+def _ctc_prefix_parallel(xs, log_phi, blank_lp, start, r0_n, r0_b, psi0,
+                         want_psi_all):
+    """O(log T)-depth evaluation of the prefix recursion (see
+    ``_ctc_prefix_step``).  Frames t < start apply the semiring identity
+    matrix, matching the sequential masking exactly."""
+    B, K, C, T = xs.shape
+    LZ = jnp.full((T - 1, B, K, C), LOG_ZERO)
+    zero = jnp.zeros((T - 1, B, K, C))
+    xs_t = jnp.moveaxis(xs[..., 1:], -1, 0)                 # (T-1,B,K,C)
+    phi_tm1 = jnp.moveaxis(log_phi[..., :-1], -1, 0)
+    blk_t = jnp.broadcast_to(
+        blank_lp[:, 1:].T[:, :, None, None], (T - 1, B, K, C))
+
+    row0 = jnp.stack([xs_t, LZ, xs_t + phi_tm1], axis=-1)
+    row1 = jnp.stack([blk_t, blk_t, LZ], axis=-1)
+    row2 = jnp.stack([LZ, LZ, zero], axis=-1)
+    M = jnp.stack([row0, row1, row2], axis=-2)              # (T-1,B,K,C,3,3)
+    eye = jnp.where(jnp.eye(3, dtype=bool), 0.0, LOG_ZERO)
+    active = (jnp.arange(1, T) >= start)[:, None, None, None, None, None]
+    M = jnp.where(active, M, eye)
+
+    # cumulative products P_t = M_t ⊙ … ⊙ M_1 (state acts on the right)
+    P = jax.lax.associative_scan(lambda a, b: _semimat(b, a), M, axis=0)
+    s0 = jnp.stack([r0_n, r0_b, jnp.zeros_like(r0_n)], axis=-1)
+    sums = P + s0[None, ..., None, :]                        # (...,3,3)
+    m = jnp.max(sums, axis=-1)
+    m_safe = jnp.maximum(m, LOG_ZERO)
+    s_all = jnp.where(
+        m <= LOG_ZERO, LOG_ZERO,
+        m_safe + jnp.log(jnp.sum(jnp.exp(sums - m_safe[..., None]),
+                                 axis=-1)))                  # (T-1,B,K,C,3)
+
+    rn_full = jnp.concatenate([r0_n[None], s_all[..., 0]], axis=0)
+    rb_full = jnp.concatenate([r0_b[None], s_all[..., 1]], axis=0)
+    r_new = jnp.stack([jnp.moveaxis(rn_full, 0, -1),
+                       jnp.moveaxis(rb_full, 0, -1)], axis=-1)
+
+    # psi_t = psi0 ⊕ cumLSE(phi_{u-1} + xs_u, u = start..t)
+    b_vec = jnp.where(active[..., 0, 0], phi_tm1 + xs_t, LOG_ZERO)
+    cum = jax.lax.associative_scan(_logaddexp, b_vec, axis=0)
+    psi_seq = _logaddexp(jnp.broadcast_to(psi0[None], cum.shape), cum)
+    psi = psi_seq[-1]
+    psi_all = None
+    if want_psi_all:
+        psi_all = jnp.moveaxis(
+            jnp.concatenate([psi0[None], psi_seq], axis=0), 0, -1)
+    return psi, r_new, psi_all
+
+
 class CTCAttBeamDecoder:
     """Batched joint CTC/attention beam search over a model's decode hooks.
 
@@ -149,7 +228,7 @@ class CTCAttBeamDecoder:
                  ctc_weight: float = 0.5, penalty: float = 0.0,
                  lm_weight: float = 0.0, blank: int = 0,
                  maxlenratio: float = 0.0, minlenratio: float = 0.0,
-                 online: bool = False, lm=None):
+                 online: bool = False, lm=None, parallel_scan: bool = False):
         # shallow RNNLM fusion (ctc_att_decoder.py:231-251, 402-425):
         # joint += lm_weight·lm[cs]; the candidate prescreen stays
         # attention-only.  `lm` is an RNNLM wrapper (modules/rnn.py:117)
@@ -188,6 +267,15 @@ class CTCAttBeamDecoder:
         #     penalty bonus (ctc_att_decoder.py:498-504).
         self.online = online
         self.tctc = online
+        # parallel_scan: evaluate the CTC prefix recursion with an
+        # O(log T)-depth log-semiring associative_scan (same math as the
+        # sequential scan; see _ctc_prefix_parallel).  Isolated, it is
+        # ~70x faster than the sequential scan (0.5ms vs 39ms at the
+        # bench shapes) but inside the beam while_loop its large 3x3
+        # matrix intermediates cost more HBM traffic than the loop
+        # latency it saves (A/B on TPU v5e: RTF 0.067 vs 0.059), so the
+        # default stays sequential; flip for very long utterances.
+        self.parallel_scan = parallel_scan
         self._jit_search = jax.jit(self._search, static_argnames=("max_len",))
 
     def _encode(self, feats, feat_len):
@@ -328,7 +416,7 @@ class CTCAttBeamDecoder:
 
             psi, r_cand, psi_all = _ctc_prefix_step(
                 lpz, r_state, last_tok, cand_ids, i, self.blank,
-                want_psi_all=self.tctc)
+                want_psi_all=self.tctc, parallel_scan=self.parallel_scan)
             r_sum = _logaddexp(r_state[..., 0], r_state[..., 1])  # (B,K,T)
             r_sum_last = r_sum[..., -1]
             if self.tctc:

@@ -97,3 +97,28 @@ def test_beam_with_rnnlm_matches_replica(tiny_model):
         got = out.tokens[b, 0, :n].tolist()
         assert got == want, (b, got, want)
         assert out.scores[b, 0] == pytest.approx(ref[0]["score"], abs=2e-3)
+
+
+def test_ctc_prefix_parallel_scan_matches_sequential():
+    """The associative-scan evaluation of the prefix recursion must equal
+    the sequential scan (states, psi, and per-frame psi)."""
+    from lasr_tpu.decode.beam import _ctc_prefix_step, _ctc_initial_state
+    rng = np.random.default_rng(0)
+    B, K, C, T, V = 2, 3, 4, 19, 9
+    lpz = jnp.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((B, T, V)), jnp.float32), -1))
+    r_prev = jnp.broadcast_to(
+        _ctc_initial_state(lpz, 0)[:, None], (B, K, T, 2))
+    last = jnp.asarray(rng.integers(1, V, (B, K)), jnp.int32)
+    cand = jnp.asarray(rng.integers(0, V, (B, K, C)), jnp.int32)
+    for out_len in (0, 1, 3):
+        seq = _ctc_prefix_step(lpz, r_prev, last, cand, out_len, 0,
+                               want_psi_all=True, parallel_scan=False)
+        par = _ctc_prefix_step(lpz, r_prev, last, cand, out_len, 0,
+                               want_psi_all=True, parallel_scan=True)
+        np.testing.assert_allclose(np.asarray(par[0]), np.asarray(seq[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(par[1]), np.asarray(seq[1]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(par[2]), np.asarray(seq[2]),
+                                   atol=1e-4)
