@@ -19,6 +19,34 @@ import numpy as np
 
 from lasr_tpu.ops.fbank import KaldiFbankConfig, log_mel_fbank
 
+# compiled engines shared across streams: a production server opens one
+# stream per utterance, and the encoder-chunk jit costs tens of seconds
+# to compile — it must never be per-stream
+_ENGINES = {}
+
+
+def _get_engine(model, variables, cfg):
+    import jax
+    import jax.numpy as jnp
+    key = (id(model), id(variables), cfg.window_size, cfg.window_shift)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        jit_fbank = jax.jit(
+            lambda w, n: log_mel_fbank(w[None], n[None], cfg))
+
+        def encode_ctc(chunk, idx, mems, n_valid):
+            hs, new_mems = model.apply(
+                variables, chunk, idx, mems, n_valid,
+                method=lambda m, c, i, me, nv: m.encoder.encode_chunk(
+                    c, i, me, n_valid=nv))
+            logits = model.apply(variables, hs,
+                                 method=lambda m, h: m.ctc(h))
+            return logits, new_mems
+
+        eng = (jit_fbank, jax.jit(encode_ctc))
+        _ENGINES[key] = eng
+    return eng
+
 
 class StreamingRecognizer:
     """Greedy streaming CTC recognizer over an E2E_Transformer_CTC_Online
@@ -45,6 +73,7 @@ class StreamingRecognizer:
         self.gain = peak_norm_fallback
 
         self._samples = np.zeros(0, np.float32)
+        self._sample_off = 0          # absolute index of _samples[0]
         self._frames = np.zeros((0, self.idim), np.float32)
         self._n_frames_done = 0
         self._chunk_idx = 0
@@ -52,33 +81,42 @@ class StreamingRecognizer:
         self._tokens: List[int] = []
         self._prev_emit = blank
 
-        self._jit_fbank = jax.jit(
-            lambda w: log_mel_fbank(w[None], jnp.asarray([w.shape[0]],
-                                                         jnp.int32),
-                                    self.cfg))
-        self._jit_chunk = jax.jit(self._encode_ctc)
-
-    def _encode_ctc(self, chunk, idx, mems, n_valid):
-        hs, new_mems = self.model.apply(
-            self.variables, chunk, idx, mems, n_valid,
-            method=lambda m, c, i, me, nv: m.encoder.encode_chunk(
-                c, i, me, n_valid=nv))
-        logits = self.model.apply(self.variables, hs,
-                                  method=lambda m, h: m.ctc(h))
-        return logits, new_mems
+        # fbank runs incrementally over ONLY the new frames' sample
+        # region, zero-padded to a fixed bucket multiple so the jit
+        # compiles once per bucket count (a growing-shape fbank would
+        # retrace every call — unusable serving latency)
+        self._fbank_bucket = 4096
+        self._jit_fbank, self._jit_chunk = _get_engine(
+            model, variables, self.cfg)
 
     def accept_waveform(self, samples: np.ndarray) -> List[int]:
         """Feed new samples; returns tokens newly committed."""
         self._samples = np.concatenate(
             [self._samples, np.asarray(samples, np.float32) * self.gain])
-        # frame i needs samples [160i, 160i+400)
+        # frame i needs samples [160i, 160i+400); each frame's fbank only
+        # depends on its own window, so only the NEW frames' region runs
         sh, ws = self.cfg.window_shift, self.cfg.window_size
-        total_frames = max(0, 1 + (len(self._samples) - ws) // sh)
+        n_avail = self._sample_off + len(self._samples)
+        total_frames = max(0, 1 + (n_avail - ws) // sh)
         if total_frames > self._n_frames_done:
+            n_new = total_frames - self._n_frames_done
+            lo = self._n_frames_done * sh - self._sample_off
+            hi = (total_frames - 1) * sh + ws - self._sample_off
+            region = self._samples[lo:hi]
+            L = -(-len(region) // self._fbank_bucket) * self._fbank_bucket
+            buf = np.zeros(L, np.float32)
+            buf[: len(region)] = region
             feats, _ = self._jit_fbank(
-                self._jnp.asarray(self._samples[: (total_frames - 1) * sh + ws]))
-            self._frames = np.asarray(feats[0])
+                self._jnp.asarray(buf),
+                self._jnp.asarray(len(region), self._jnp.int32))
+            self._frames = np.concatenate(
+                [self._frames, np.asarray(feats[0][:n_new])])
             self._n_frames_done = total_frames
+            # drop samples no future frame can touch
+            consumed = total_frames * sh - self._sample_off
+            if consumed > 0:
+                self._samples = self._samples[consumed:]
+                self._sample_off += consumed
         return self._drain_chunks()
 
     def _drain_chunks(self, final: bool = False) -> List[int]:

@@ -1,0 +1,77 @@
+"""Streaming-serving latency bench: per-chunk wall latency of the
+chunk-incremental recognizer on the real chip.
+
+Measures what a production streaming deployment cares about: the time
+from "a chunk of audio arrives" to "its tokens are committed", at a
+production-size model (the reference's online config scale), plus the
+implied streaming RTF.  Run from the repo root: python tools/bench_streaming.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lasr_tpu.models.e2e_online import E2E_Transformer_CTC_Online
+from lasr_tpu.decode.online import StreamingRecognizer
+
+
+def main():
+    odim = 5002
+    model = E2E_Transformer_CTC_Online(
+        idim=80, odim=odim,
+        encoder_attention_dim=320, encoder_attention_heads=8,
+        encoder_linear_units=2048, encoder_num_blocks=12,
+        encoder_left_chunk=64, encoder_center_chunk=64,
+        encoder_right_chunk=64,
+        decoder_attention_dim=320, decoder_self_attention_heads=8,
+        decoder_src_attention_heads=8, decoder_linear_units=2048,
+        decoder_num_block=6, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, 160, 80)), jnp.float32)
+    feat_len = jnp.asarray([160], jnp.int32)
+    ys = jnp.asarray(rng.integers(6, odim, (1, 6)))
+    variables = model.init(jax.random.PRNGKey(0), feats, feat_len, ys)
+
+    # 64 encoder frames per chunk = 256 feature frames = 2.56 s of audio
+    chunk_samples = 64 * 4 * 160
+    secs = 20.48
+    wav = (0.1 * rng.standard_normal((int(secs * 16000),))).astype(np.float32)
+
+    def run():
+        rec = StreamingRecognizer(model, variables)
+        lats = []
+        for off in range(0, len(wav), chunk_samples):
+            t0 = time.perf_counter()
+            rec.accept_waveform(wav[off: off + chunk_samples])
+            lats.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rec.finalize()
+        lats.append(time.perf_counter() - t0)
+        return lats
+
+    run()  # warmup/compile
+    lats = np.asarray(sum((run() for _ in range(3)), []))
+    chunk_secs = chunk_samples / 16000.0
+    result = {
+        "metric": "streaming_chunk_latency_ms",
+        "value": round(float(np.median(lats) * 1e3), 2),
+        "unit": "ms per 2.56s chunk (median)",
+        "vs_baseline": 1.0,
+        "detail": {
+            "p95_ms": round(float(np.percentile(lats, 95) * 1e3), 2),
+            "streaming_rtf": round(float(lats.sum() / (3 * secs)), 5),
+            "chunk_audio_s": chunk_secs,
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
