@@ -392,6 +392,8 @@ class Trainer:
                 totals[k] = totals.get(k, 0.0) + float(v)
             totals["ctc_cer"] = totals.get("ctc_cer", 0.0) + cer
             n_batches += 1
+        if jax.process_count() > 1:
+            totals, n_batches = _allreduce_host_metrics(totals, n_batches)
         return {k: v / max(n_batches, 1) for k, v in totals.items()}
 
     def _flush_metrics(self, pending, epoch, metrics_path, t0):
@@ -416,6 +418,29 @@ class Trainer:
             for k, v in line.items():
                 if isinstance(v, (int, float)) and k not in ("epoch", "step"):
                     tb.scalar(k, v, step)
+
+
+def _allreduce_host_metrics(totals: Dict[str, float], n_batches: int,
+                            gather_fn=None):
+    """Sum validation totals across hosts so every host reports the
+    GLOBAL validation metrics (each host only iterates its own scp shard;
+    the reference's distributed validation is reduced the same way by
+    lightning).  Hosts must agree on the metric key set — i.e. every host
+    must see at least one validation batch.  ``gather_fn(vec) -> (P, n)``
+    is injectable for testing; default is a cross-process all-gather."""
+    if n_batches == 0:
+        raise RuntimeError(
+            "multi-host validation requires >= 1 batch per host "
+            "(this host's validation shard is empty)")
+    if gather_fn is None:
+        from jax.experimental import multihost_utils
+        gather_fn = multihost_utils.process_allgather
+    keys = sorted(totals)
+    vec = np.asarray([totals[k] for k in keys] + [float(n_batches)],
+                     np.float64)
+    summed = np.asarray(gather_fn(vec)).sum(axis=0)
+    return ({k: float(summed[i]) for i, k in enumerate(keys)},
+            float(summed[-1]))
 
 
 def _state_to_tree(state: TrainState) -> Dict:

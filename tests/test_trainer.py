@@ -285,3 +285,26 @@ def test_auto_resume_and_interval_checkpoints(toy, tmp_path):
     s2 = trainer2.init_state(batch)
     s2 = trainer2.fit(s2, ds, num_epochs=1, num_workers=1, auto_resume=True)
     assert int(s2.step) == steps_done * 2
+
+
+def test_allreduce_host_metrics():
+    """Cross-host validation aggregation: totals sum, batch counts sum, so
+    the final mean is the global mean."""
+    from lasr_tpu.train.trainer import _allreduce_host_metrics
+    import numpy as np
+
+    # fake 3-host gather: this host's vec plus two peers'
+    def gather(vec):
+        peer1 = vec * 2.0
+        peer2 = vec * 0.0 + np.asarray([1.0] * len(vec))
+        return np.stack([vec, peer1, peer2])
+
+    totals = {"loss": 6.0, "ctc_cer": 0.3}
+    out, n = _allreduce_host_metrics(totals, 2, gather_fn=gather)
+    assert n == 2 + 4 + 1
+    assert out["loss"] == 6.0 + 12.0 + 1.0
+    assert abs(out["ctc_cer"] - (0.3 + 0.6 + 1.0)) < 1e-9
+
+    import pytest
+    with pytest.raises(RuntimeError):
+        _allreduce_host_metrics({}, 0, gather_fn=gather)
