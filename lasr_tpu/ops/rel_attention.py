@@ -175,6 +175,14 @@ def _rel_attention_pallas(q_u, q_v, k, v, p, kv_len, H: int, BQ: int = 128,
             jax.ShapeDtypeStruct((BH, Tp, dkp), q_u.dtype),
             jax.ShapeDtypeStruct((BH, 1, Tp), jnp.float32),
         ],
+        # bh blocks are independent -> megacore-parallel; iq stays
+        # arbitrary (the lse row block is revisited across iq)
+        # allow_input_fusion folds the 40->128 lane pads (and their
+        # producers) into the kernel's input pipeline instead of
+        # materializing 3.2x-oversized copies in HBM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            allow_input_fusion=[False, True, True, False, False, False]),
         interpret=interpret,
     )(kv_len[:, None].astype(jnp.int32), qu_p, qv_p, k_p, v_p, p_p)
     return out[:, :T, :dk], lse[:, 0, :T]
@@ -329,6 +337,11 @@ def _rel_attention_pallas_bwd(q_u, q_v, k, v, p, kv_len, out, lse, dout,
             jax.ShapeDtypeStruct((BH, Tp, dkp), jnp.float32),
             jax.ShapeDtypeStruct((BH, Pp, dkp), jnp.float32),
         ],
+        # bh is parallel-safe; dk/dv/dp blocks accumulate across iq so
+        # iq must stay sequential
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            allow_input_fusion=[False, True, True, False, False, False, True, False, False]),
         interpret=interpret,
     )(kv_len[:, None].astype(jnp.int32), qu_p, qv_p, k_p, v_p, p_p,
       do_p, lse_p, delta_p)

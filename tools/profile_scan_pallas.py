@@ -30,6 +30,14 @@ def main():
                 mutable=["batch_stats"])
             return (out["att_out"].astype(jnp.float32).sum()
                     + out["ctc_out"].astype(jnp.float32).sum())
+        f = jax.jit(fwd)
+        val = f(variables["params"]); jax.block_until_ready(val)
+        t0 = time.time()
+        for _ in range(10):
+            val = f(variables["params"])
+        jax.block_until_ready(val)
+        print(json.dumps({f"fwd_{name}_ms": (time.time()-t0)/10*1000}),
+              flush=True)
         t0 = time.time()
         g = jax.jit(lambda p: jax.grad(fwd)(p))
         out = g(variables["params"])
