@@ -18,9 +18,17 @@ import time
 
 import numpy as np
 
-# First measured value (round 1, TPU v5 lite, bf16, 2026-08-16):
-# 307.7 utts/s/chip, 104 ms/step, 4800 s-audio/s. Later rounds compare here.
-BASELINE_UTTS_PER_SEC = 307.7
+# Honest round-1-start value (TPU v5 lite, bf16, 2026-08-16), re-measured
+# at commit ceec503 with the corrected device_get-synced harness:
+# 150.5 utts/s/chip, 212.6 ms/step. Later rounds compare here.
+#
+# MEASUREMENT BUG DISCLOSURE: through most of round 1 this harness synced
+# with jax.block_until_ready, which does NOT block on this image's
+# remote-TPU runtime — earlier recorded values (307.7 ... 2167.6 utts/s,
+# and commit messages quoting them) measured dispatch, not execution.
+# Every number here now comes from a chained loop closed by a device_get
+# value fetch (a true barrier). See BASELINE.md for the corrected table.
+BASELINE_UTTS_PER_SEC = 150.5
 
 
 def main():
@@ -66,16 +74,26 @@ def main():
     state = trainer.init_state(batch)
     n_params = trainer.param_count(state)
 
-    # warmup (compile + 2 steps)
+    # device-resident batch: the fit loop prefetches/overlaps input
+    # transfers (train/trainer.py), so the step benchmark measures compute;
+    # through this image's TPU tunnel a synchronous 32 MB upload would
+    # otherwise dominate (~0.5 s/step vs ~3 ms on local PCIe)
+    batch = {k: (jax.device_put(jnp.asarray(v))
+                 if isinstance(v, np.ndarray) else v)
+             for k, v in batch.items()}
+
+    # warmup (compile + 2 steps); sync via device_get — on this image's
+    # remote-TPU runtime jax.block_until_ready returns before execution
+    # finishes, so only a value fetch is a true barrier
     for _ in range(3):
         state, metrics = trainer.train_step(state, batch)
-    jax.block_until_ready(metrics["loss_main"])
+    float(jax.device_get(metrics["loss_main"]))
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer.train_step(state, batch)
-    jax.block_until_ready(metrics["loss_main"])
+    loss = float(jax.device_get(metrics["loss_main"]))
     dt = time.perf_counter() - t0
 
     utts_per_sec = B * iters / dt
@@ -95,7 +113,7 @@ def main():
             "batch_audio_s": round(B * secs, 1),
             "dtype": "bfloat16",
             "device": str(jax.devices()[0]),
-            "loss": float(jax.device_get(metrics["loss_main"])),
+            "loss": loss,
         },
     }))
 

@@ -341,10 +341,10 @@ class Trainer:
         t0 = time.time()
         for epoch in range(num_epochs):
             pending = []
-            for batch in train_dataset.batches(
+            for batch in _device_prefetch(train_dataset.batches(
                     shuffle=True, seed=self.seed + epoch,
                     num_workers=num_workers,
-                    process_index=proc_idx, process_count=proc_cnt):
+                    process_index=proc_idx, process_count=proc_cnt)):
                 state, metrics = self.train_step(state, batch)
                 pending.append((state.step, metrics, batch["n_utts"]))
                 if len(pending) >= self.log_interval:
@@ -418,6 +418,26 @@ class Trainer:
             for k, v in line.items():
                 if isinstance(v, (int, float)) and k not in ("epoch", "step"):
                     tb.scalar(k, v, step)
+
+
+def _device_prefetch(batch_iter, depth: int = 2):
+    """Stage host batches onto the device ``depth`` steps ahead so the
+    upload overlaps the previous step's compute (the reference gets the
+    same overlap from DataLoader workers + pinned memory + cudaMemcpyAsync;
+    here jax.device_put is async).  Non-array entries pass through."""
+    import collections
+    q = collections.deque()
+
+    def put(b):
+        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                for k, v in b.items()}
+
+    for b in batch_iter:
+        q.append(put(b))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
 
 
 def _allreduce_host_metrics(totals: Dict[str, float], n_batches: int,

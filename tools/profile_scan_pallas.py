@@ -22,7 +22,7 @@ def main():
             encoder_use_pallas_attention=pallas, encoder_scan_layers=True,
             dtype=jnp.bfloat16)
         variables = model.init(jax.random.PRNGKey(0), feats, feat_len, ys)
-        def fwd(p):
+        def fwd(p, feats):
             out, _ = model.apply(
                 {"params": p, "batch_stats": variables["batch_stats"]},
                 feats, feat_len, ys, deterministic=False,
@@ -30,23 +30,32 @@ def main():
                 mutable=["batch_stats"])
             return (out["att_out"].astype(jnp.float32).sum()
                     + out["ctc_out"].astype(jnp.float32).sum())
-        f = jax.jit(fwd)
-        val = f(variables["params"]); jax.block_until_ready(val)
+        # honest timing: args (not closure constants), chained via the
+        # evolving carry, closed by a device_get value fetch — on this
+        # image jax.block_until_ready does not actually block
+        f = jax.jit(lambda p, x: x + 1e-12 * fwd(p, x))
+        x = f(variables["params"], feats)
+        float(jax.device_get(x[0, 0, 0]))
         t0 = time.time()
         for _ in range(10):
-            val = f(variables["params"])
-        jax.block_until_ready(val)
+            x = f(variables["params"], x)
+        float(jax.device_get(x[0, 0, 0]))
         print(json.dumps({f"fwd_{name}_ms": (time.time()-t0)/10*1000}),
               flush=True)
+
+        @jax.jit
+        def gstep(p, feats):
+            g = jax.grad(lambda q: fwd(q, feats))(p)
+            return jax.tree.map(lambda a, b: a - 1e-9 * b.astype(a.dtype),
+                                p, g)
         t0 = time.time()
-        g = jax.jit(lambda p: jax.grad(fwd)(p))
-        out = g(variables["params"])
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+        p = gstep(variables["params"], feats)
+        float(jax.device_get(jax.tree.leaves(p)[0].reshape(-1)[0]))
         compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(10):
-            out = g(variables["params"])
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+            p = gstep(p, feats)
+        float(jax.device_get(jax.tree.leaves(p)[0].reshape(-1)[0]))
         print(json.dumps({f"grad_{name}_ms": (time.time()-t0)/10*1000,
                           f"compile_{name}_s": compile_s}), flush=True)
 
