@@ -35,6 +35,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # hardware RngBitGenerator for dropout masks: threefry costs ~32 ms
+    # of the ~180 ms step on this model (tools/probe_components.py)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from lasr_tpu.data.frontend import DeviceFrontend
     from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
     from lasr_tpu.models.losses import E2E_Loss

@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("-num_workers", default=8, type=int)
     parser.add_argument("-seed", default=0, type=int)
     parser.add_argument("-log_interval", default=50, type=int)
+    parser.add_argument("-fast_rng", default=1, type=int,
+                        help="1: hardware RngBitGenerator for dropout "
+                             "(~15%% faster steps on TPU); 0: threefry")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -42,6 +45,9 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.fast_rng:
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from lasr_tpu.data.frontend import DeviceFrontend
     from lasr_tpu.parallel.mesh import make_mesh
