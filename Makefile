@@ -1,6 +1,6 @@
 # Developer entry points.
 
-.PHONY: test test-fast bench bench-decode native lint toy
+.PHONY: test test-fast bench bench-decode bench-streaming native lint toy
 
 # note (axon images): every python process with the default PYTHONPATH
 # registers the TPU tunnel; concurrent clients get killed. CPU test runs
@@ -17,6 +17,9 @@ bench:
 
 bench-decode:
 	python bench_decode.py
+
+bench-streaming:
+	python tools/bench_streaming.py
 
 native:
 	g++ -O3 -shared -fPIC -std=c++17 -pthread native/wavio.cc -o native/libwavio.so
