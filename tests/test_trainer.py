@@ -308,3 +308,15 @@ def test_allreduce_host_metrics():
     import pytest
     with pytest.raises(RuntimeError):
         _allreduce_host_metrics({}, 0, gather_fn=gather)
+
+
+def test_device_prefetch_preserves_order_and_content():
+    from lasr_tpu.train.trainer import _device_prefetch
+    import numpy as np
+    batches = [{"x": np.full((2,), i, np.float32), "n_utts": i}
+               for i in range(5)]
+    out = list(_device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert b["n_utts"] == i
+        assert np.asarray(b["x"]).tolist() == [i, i]
