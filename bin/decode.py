@@ -65,9 +65,10 @@ def main(argv=None):
     test_dataset.load_check_data()
 
     model = BaseConfig(**model_config).generateExample()
-    params = load_averaged_params(args.model_path, args.choose, args.avg)
-    variables = {"params": params}
-    # batch_stats were averaged alongside if present in the tree
+    params, batch_stats = load_averaged_params(args.model_path, args.choose,
+                                               args.avg)
+    from lasr_tpu.train.trainer import decode_variables
+    variables = decode_variables(params, batch_stats)
     frontend = DeviceFrontend([t for t in test_dataset.audio_trans
                                if t != "specaug"])
 

@@ -215,8 +215,15 @@ class AudioDataSet:
 
         Multi-host data parallelism shards batch order round-robin by
         ``process_index`` (the jit data axis shards within a host's batch).
+        Every host MUST execute the same number of jitted steps per epoch —
+        a straggler host missing one collective deadlocks the others — so
+        the global order is padded up to a multiple of ``process_count`` by
+        cycling batches from the head before sharding.
         """
         order = self.batch_indices(shuffle=shuffle, seed=seed)
+        if process_count > 1 and order and len(order) % process_count:
+            pad = process_count - len(order) % process_count
+            order = order + [order[i % len(order)] for i in range(pad)]
         order = order[process_index::process_count]
         if not order:
             return

@@ -40,12 +40,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put array leaves of a host batch with batch-dim sharding."""
+    """Device-put array leaves of a host batch with batch-dim sharding.
+
+    Accepts numpy leaves AND jax.Array leaves: a leaf already committed to
+    a single device (e.g. by an upstream prefetcher without the mesh
+    sharding) is re-put with the data-axis NamedSharding rather than passed
+    through, so data parallelism is never silently lost."""
     sh = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1:
             out[k] = jax.device_put(v, sh)
+        elif isinstance(v, jax.Array) and v.ndim >= 1:
+            out[k] = v if v.sharding.is_equivalent_to(sh, v.ndim) \
+                else jax.device_put(v, sh)
         else:
             out[k] = v
     return out

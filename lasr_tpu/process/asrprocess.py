@@ -32,9 +32,10 @@ class ASRProcess:
         self.tokenizer = BaseConfig(**tc["tokenizer_config"]).generateExample()
         self.model = BaseConfig(**tc["model_config"]).generateExample()
 
-        from lasr_tpu.train.trainer import load_averaged_params
-        params = load_averaged_params(model_path, choose, avg)
-        self.variables = {"params": params}
+        from lasr_tpu.train.trainer import (decode_variables,
+                                            load_averaged_params)
+        params, batch_stats = load_averaged_params(model_path, choose, avg)
+        self.variables = decode_variables(params, batch_stats)
 
         cfg = dc.get("decode_config", {})
         trans = dc.get("test_data_config", {}).get("kwargs", {}).get(

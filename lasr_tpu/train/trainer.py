@@ -245,7 +245,7 @@ class Trainer:
         step = int(state.step)
         tree = jax.device_get(_state_to_tree(state))
         mgr_last.save(step, args=ocp.args.StandardSave(tree))
-        if valid_metrics is not None:
+        if valid_metrics:  # {} when every host's validation shard was empty
             mgr_best.save(step, args=ocp.args.StandardSave(tree),
                           metrics={"valid_loss_main":
                                    float(valid_metrics["loss_main"])})
@@ -341,10 +341,12 @@ class Trainer:
         t0 = time.time()
         for epoch in range(num_epochs):
             pending = []
+            from lasr_tpu.parallel.mesh import batch_sharding
             for batch in _device_prefetch(train_dataset.batches(
                     shuffle=True, seed=self.seed + epoch,
                     num_workers=num_workers,
-                    process_index=proc_idx, process_count=proc_cnt)):
+                    process_index=proc_idx, process_count=proc_cnt),
+                    sharding=batch_sharding(self.mesh)):
                 state, metrics = self.train_step(state, batch)
                 pending.append((state.step, metrics, batch["n_utts"]))
                 if len(pending) >= self.log_interval:
@@ -420,16 +422,21 @@ class Trainer:
                     tb.scalar(k, v, step)
 
 
-def _device_prefetch(batch_iter, depth: int = 2):
+def _device_prefetch(batch_iter, depth: int = 2, sharding=None):
     """Stage host batches onto the device ``depth`` steps ahead so the
     upload overlaps the previous step's compute (the reference gets the
     same overlap from DataLoader workers + pinned memory + cudaMemcpyAsync;
-    here jax.device_put is async).  Non-array entries pass through."""
+    here jax.device_put is async).  Non-array entries pass through.
+
+    ``sharding`` (the mesh batch sharding) must be given on multi-device
+    runs: a bare device_put would commit leaves to device 0 and silently
+    defeat the data-parallel batch split downstream."""
     import collections
     q = collections.deque()
 
     def put(b):
-        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+        return {k: (jax.device_put(v, sharding)
+                    if isinstance(v, np.ndarray) and v.ndim >= 1 else v)
                 for k, v in b.items()}
 
     for b in batch_iter:
@@ -440,23 +447,33 @@ def _device_prefetch(batch_iter, depth: int = 2):
         yield q.popleft()
 
 
+_KEY_GATHER_BYTES = 4096
+
+
 def _allreduce_host_metrics(totals: Dict[str, float], n_batches: int,
                             gather_fn=None):
     """Sum validation totals across hosts so every host reports the
     GLOBAL validation metrics (each host only iterates its own scp shard;
     the reference's distributed validation is reduced the same way by
-    lightning).  Hosts must agree on the metric key set — i.e. every host
-    must see at least one validation batch.  ``gather_fn(vec) -> (P, n)``
+    lightning).
+
+    Tolerates hosts with an EMPTY validation shard: the global metric key
+    set is agreed first by all-gathering each host's JSON-encoded key list
+    (fixed-size byte buffer), then values are gathered in that canonical
+    order with missing keys contributing 0.  ``gather_fn(arr) -> (P, n)``
     is injectable for testing; default is a cross-process all-gather."""
-    if n_batches == 0:
-        raise RuntimeError(
-            "multi-host validation requires >= 1 batch per host "
-            "(this host's validation shard is empty)")
     if gather_fn is None:
         from jax.experimental import multihost_utils
         gather_fn = multihost_utils.process_allgather
-    keys = sorted(totals)
-    vec = np.asarray([totals[k] for k in keys] + [float(n_batches)],
+    enc = json.dumps(sorted(totals)).encode()
+    if len(enc) > _KEY_GATHER_BYTES:
+        raise ValueError(f"metric key set too large ({len(enc)} bytes)")
+    keybuf = np.zeros((_KEY_GATHER_BYTES,), np.uint8)
+    keybuf[: len(enc)] = np.frombuffer(enc, np.uint8)
+    rows = np.asarray(gather_fn(keybuf))
+    keys = sorted({k for row in rows for k in json.loads(
+        row.astype(np.uint8).tobytes().rstrip(b"\x00").decode() or "[]")})
+    vec = np.asarray([totals.get(k, 0.0) for k in keys] + [float(n_batches)],
                      np.float64)
     summed = np.asarray(gather_fn(vec)).sum(axis=0)
     return ({k: float(summed[i]) for i, k in enumerate(keys)},
@@ -484,12 +501,16 @@ def _tree_to_state(tree: Dict, template: TrainState) -> TrainState:
 
 def average_checkpoints(directory: str, ids: str = "last", num: int = 5
                         ) -> Dict:
-    """Average the params (and EMA) trees of the newest/best K checkpoints
-    (reference average_checkpoints.py:7-38).
+    """Average the params/EMA/batch_stats trees of the newest/best K
+    checkpoints (reference average_checkpoints.py:7-38).
 
     ``directory`` is a CheckpointManager root (…/checkpoints/last or /best);
     picks the ``num`` highest steps (ids='last') or relies on the best
     manager's retention (ids='best' — best-K are the only ones kept).
+    batch_stats (conformer BatchNorm running stats) are arithmetic-meaned
+    like float params so averaged conformer checkpoints decode correctly.
+    Non-float leaves (e.g. EMA num_updates counters) keep the newest
+    checkpoint's value untouched.
     """
     import orbax.checkpoint as ocp
     with ocp.CheckpointManager(os.path.abspath(directory)) as mgr:
@@ -499,7 +520,8 @@ def average_checkpoints(directory: str, ids: str = "last", num: int = 5
         avg = None
         for s in steps:
             tree = mgr.restore(s)
-            tree = {k: tree[k] for k in ("params", "ema") if k in tree}
+            tree = {k: tree[k] for k in ("params", "ema", "batch_stats")
+                    if k in tree and tree[k]}
             if avg is None:
                 avg = jax.tree.map(lambda x: np.asarray(x, dtype=np.float64)
                                    if np.issubdtype(np.asarray(x).dtype,
@@ -512,18 +534,33 @@ def average_checkpoints(directory: str, ids: str = "last", num: int = 5
         k = len(steps)
         avg = jax.tree.map(
             lambda a: (a / k).astype(np.float32)
-            if np.issubdtype(a.dtype, np.floating) else a // k, avg)
+            if np.issubdtype(a.dtype, np.floating) else a, avg)
         return avg
 
 
 def load_averaged_params(model_path: str, choose: str = "last", avg: int = 5):
     """Averaged decode weights from a checkpoints root: prefers the EMA
-    shadow tree when present (reference decode_lighting.py:66-78)."""
+    shadow tree when present (reference decode_lighting.py:66-78).
+
+    Returns ``(params, batch_stats)`` — batch_stats is ``{}`` for models
+    without BatchNorm; for conformer checkpoints it must be passed into
+    ``variables`` at decode time or ``model.apply`` raises
+    ScopeCollectionNotFound.
+    """
     import logging as _logging
     sub = os.path.join(model_path, choose)
     directory = sub if os.path.isdir(sub) else model_path
     tree = average_checkpoints(directory, ids=choose, num=avg)
+    batch_stats = tree.get("batch_stats", {})
     if "ema" in tree:
         _logging.info("Find EMA parameters, use EMA to decode")
-        return tree["ema"]["shadow"]
-    return tree["params"]
+        return tree["ema"]["shadow"], batch_stats
+    return tree["params"], batch_stats
+
+
+def decode_variables(params, batch_stats=None) -> Dict:
+    """Assemble the flax variables dict for inference."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables

@@ -39,13 +39,17 @@ bool parse_header(FILE* f, WavFormat* wf) {
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
+      // PCM fmt body is 16 bytes (bits at +14); EXTENSIBLE sub-format is
+      // read at +24, so require size >= 26 before that memcpy. A shorter
+      // (malformed/truncated) fmt chunk is rejected, never over-read.
+      if (size < 16) return false;
       std::vector<unsigned char> body(size);
       if (fread(body.data(), 1, size, f) != size) return false;
       memcpy(&wf->audio_format, body.data(), 2);
       memcpy(&wf->channels, body.data() + 2, 2);
       memcpy(&wf->sample_rate, body.data() + 4, 4);
       memcpy(&wf->bits, body.data() + 14, 2);
-      if (wf->audio_format == 0xFFFE && size >= 40)  // EXTENSIBLE
+      if (wf->audio_format == 0xFFFE && size >= 26)  // EXTENSIBLE
         memcpy(&wf->audio_format, body.data() + 24, 2);
       if (size % 2) fseek(f, 1, SEEK_CUR);
       have_fmt = true;

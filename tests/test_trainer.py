@@ -287,27 +287,143 @@ def test_auto_resume_and_interval_checkpoints(toy, tmp_path):
     assert int(s2.step) == steps_done * 2
 
 
+def _fake_host_gather(peers):
+    """Simulate process_allgather for this host + ``peers`` (list of
+    (totals, n_batches)).  Handles both phases: the uint8 key-set gather
+    and the float64 value gather."""
+    import json
+    from lasr_tpu.train.trainer import _KEY_GATHER_BYTES
+    agreed = {}
+
+    def gather(arr):
+        arr = np.asarray(arr)
+        if arr.dtype == np.uint8:
+            rows = [arr]
+            for totals, _ in peers:
+                enc = json.dumps(sorted(totals)).encode()
+                buf = np.zeros((_KEY_GATHER_BYTES,), np.uint8)
+                buf[: len(enc)] = np.frombuffer(enc, np.uint8)
+                rows.append(buf)
+            keys = set()
+            for row in rows:
+                keys |= set(json.loads(
+                    row.tobytes().rstrip(b"\x00").decode() or "[]"))
+            agreed["keys"] = sorted(keys)
+            return np.stack(rows)
+        keys = agreed["keys"]
+        rows = [arr]
+        for totals, n in peers:
+            rows.append(np.asarray(
+                [totals.get(k, 0.0) for k in keys] + [float(n)], np.float64))
+        return np.stack(rows)
+
+    return gather
+
+
 def test_allreduce_host_metrics():
     """Cross-host validation aggregation: totals sum, batch counts sum, so
     the final mean is the global mean."""
     from lasr_tpu.train.trainer import _allreduce_host_metrics
-    import numpy as np
 
-    # fake 3-host gather: this host's vec plus two peers'
-    def gather(vec):
-        peer1 = vec * 2.0
-        peer2 = vec * 0.0 + np.asarray([1.0] * len(vec))
-        return np.stack([vec, peer1, peer2])
-
+    peers = [({"loss": 12.0, "ctc_cer": 0.6}, 4),
+             ({"loss": 1.0, "ctc_cer": 1.0}, 1)]
     totals = {"loss": 6.0, "ctc_cer": 0.3}
-    out, n = _allreduce_host_metrics(totals, 2, gather_fn=gather)
+    out, n = _allreduce_host_metrics(totals, 2,
+                                     gather_fn=_fake_host_gather(peers))
     assert n == 2 + 4 + 1
     assert out["loss"] == 6.0 + 12.0 + 1.0
     assert abs(out["ctc_cer"] - (0.3 + 0.6 + 1.0)) < 1e-9
 
-    import pytest
-    with pytest.raises(RuntimeError):
-        _allreduce_host_metrics({}, 0, gather_fn=gather)
+
+def test_allreduce_host_metrics_empty_shard():
+    """A host with an empty validation shard (no batches, no keys) must not
+    deadlock or crash the reduction — it contributes zeros and the other
+    hosts' key set wins (ADVICE r1 / VERDICT r1 item 7)."""
+    from lasr_tpu.train.trainer import _allreduce_host_metrics
+
+    peers = [({"loss": 8.0}, 4)]
+    # this host saw zero validation batches
+    out, n = _allreduce_host_metrics({}, 0,
+                                     gather_fn=_fake_host_gather(peers))
+    assert n == 4
+    assert out["loss"] == 8.0
+    # and the fully-empty case returns empty rather than raising
+    out, n = _allreduce_host_metrics({}, 0, gather_fn=_fake_host_gather([]))
+    assert out == {} and n == 0
+
+
+def test_conformer_checkpoint_average_decodes(toy, tmp_path):
+    """Averaged conformer checkpoints must carry batch_stats into decode:
+    without them model.apply(method=encode) raises ScopeCollectionNotFound
+    (ADVICE r1 high)."""
+    from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
+    from lasr_tpu.train.trainer import decode_variables, load_averaged_params
+    root, tok, ds = toy
+    exp = str(tmp_path / "exp_conf")
+    model = E2E_Conformer_CTC(
+        idim=80, odim=tok.dict_size(),
+        encoder_attention_dim=32, encoder_attention_heads=2,
+        encoder_linear_units=64, encoder_num_blocks=1,
+        encoder_cnn_kernel=7,
+        decoder_attention_dim=32, decoder_attention_heads=2,
+        decoder_linear_units=64, decoder_num_block=1,
+        encoder_dropout_rate=0.0, decoder_dropout_rate=0.0, ctc_dropout=0.0)
+    crit = E2E_Loss(size=tok.dict_size(), padding_idx=-1, smoothing=0.1,
+                    rate=0.3)
+    sched = WarmupScheduler(model_size=32, factor=1.0, warm_step=20)
+    fe = DeviceFrontend(["norm", "fbank:80", "specaug"])
+    trainer = Trainer(model, crit, Adam(betas=(0.9, 0.98)).make(sched), fe,
+                      tokenizer=tok, exp_dir=exp, schedule=sched,
+                      use_ema=True, log_interval=100)
+    batch = next(iter(ds.batches()))
+    state = trainer.init_state(batch)
+    assert state.batch_stats, "conformer must carry BatchNorm stats"
+    for _ in range(2):
+        state, m = trainer.train_step(state, batch)
+        trainer.save_checkpoint(state)
+    params, batch_stats = load_averaged_params(
+        os.path.join(exp, "checkpoints"), "last", avg=2)
+    assert batch_stats, "averaged tree must keep batch_stats"
+    variables = decode_variables(params, batch_stats)
+    feats, feat_len = fe(jnp.asarray(batch["wav_array"][:2]),
+                         jnp.asarray(batch["wav_len"][:2]))
+    hs, hs_len = model.apply(variables, feats, feat_len, method=model.encode)
+    logits = model.apply(variables, hs, method=model.ctc_logits)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+    # integer leaves (EMA num_updates) survive averaging untouched — the
+    # newest checkpoint's value, not a floor-divided corruption
+    avg = average_checkpoints(os.path.join(exp, "checkpoints", "last"), num=2)
+    assert int(avg["ema"]["num_updates"]) == 2
+
+
+def test_prefetch_and_shard_batch_keep_dp_sharding():
+    """fit()'s prefetcher must commit batches with the mesh data sharding,
+    and shard_batch must re-shard a mis-committed jax.Array leaf
+    (ADVICE r1 medium)."""
+    from lasr_tpu.parallel.mesh import batch_sharding, shard_batch
+    from lasr_tpu.train.trainer import _device_prefetch
+    mesh = make_mesh(data=8)
+    sh = batch_sharding(mesh)
+    batches = [{"x": np.zeros((8, 4), np.float32), "n_utts": 8}]
+    out = list(_device_prefetch(iter(batches), sharding=sh))
+    assert out[0]["x"].sharding.is_equivalent_to(sh, 2)
+    committed = jax.device_put(np.zeros((8, 4), np.float32), jax.devices()[0])
+    sb = shard_batch(mesh, {"x": committed})
+    assert sb["x"].sharding.is_equivalent_to(sh, 2)
+
+
+def test_multihost_equal_batch_counts(toy):
+    """Every host must run the same number of steps per epoch (unequal
+    counts deadlock the collective at the epoch boundary, ADVICE r1)."""
+    root, tok, ds = toy
+    n_proc = 3
+    counts = [sum(1 for _ in ds.batches(process_index=p,
+                                        process_count=n_proc, num_workers=1))
+              for p in range(n_proc)]
+    assert len(set(counts)) == 1, counts
+    total = len(ds.batch_indices())
+    assert counts[0] == -(-total // n_proc)
 
 
 def test_device_prefetch_preserves_order_and_content():
