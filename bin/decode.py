@@ -73,6 +73,10 @@ def main(argv=None):
                                if t != "specaug"])
 
     method = asr_decode_config.get("decode_method", "ctc_att")
+    nbest = int(asr_decode_config.get("nbest", 1))
+    from lasr_tpu.decode.lm import build_lm
+    lm, lm_weight = build_lm(asr_decode_config)
+    bs_decoder = None
     if method in ("ctc_att", "ctc_att_online"):
         decoder = CTCAttBeamDecoder(
             model, variables,
@@ -80,7 +84,17 @@ def main(argv=None):
             beam=asr_decode_config["beam"],
             ctc_beam=asr_decode_config["ctc_beam"],
             ctc_weight=asr_decode_config["ctc_weight"],
-            lm_weight=0.0, online=method == "ctc_att_online")
+            nbest=nbest, lm=lm, lm_weight=lm_weight,
+            online=method == "ctc_att_online")
+    elif method == "ctc_bs":
+        # pure-CTC prefix beam search, reference ctc_bs dispatch
+        # (decode_lighting.py:136-159); host DP over the on-device posterior
+        from lasr_tpu.decode.ctc_bs import CTC_Decoder
+        decoder = None
+        bs_decoder = CTC_Decoder(
+            beam_size=asr_decode_config["beam"],
+            ctc_beam=asr_decode_config["ctc_beam"],
+            sos=tokenizer.ID_VALUE_SOS, rnn_lm=lm, lm_rate=lm_weight)
     elif method == "ctc_greedy":
         decoder = None
     else:
@@ -88,6 +102,8 @@ def main(argv=None):
 
     acc = ErrorRateAccumulator()
     out = open(args.output_file, "w", encoding="utf-8")
+    nbest_out = open(args.output_file + ".nbest", "w", encoding="utf-8") \
+        if nbest > 1 else None
     # group utterances to keep device batches full
     items = list(test_dataset.train_set)
     for lo in range(0, len(items), args.batch):
@@ -95,14 +111,28 @@ def main(argv=None):
         batch = test_dataset.merge_batch(chunk)
         feats, feat_len = frontend(jnp.asarray(batch["wav_array"]),
                                    jnp.asarray(batch["wav_len"]))
+        hyps = None
         if decoder is not None:
             hyps = decoder(feats, feat_len)
             hyp_ids = [hyps.best_ids(b) for b in range(len(chunk))]
         else:
+            import jax
             hs, hs_len = model.apply(variables, feats, feat_len,
                                      method=model.encode)
             logits = model.apply(variables, hs, method=model.ctc_logits)
-            hyp_ids = ctc_greedy_decode(logits, hs_len)[: len(chunk)]
+            if bs_decoder is not None:
+                lpz = np.asarray(jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1))
+                lens = np.asarray(hs_len)
+                hyp_ids, nbest_lists = [], []
+                for b in range(len(chunk)):
+                    cands = bs_decoder.decode_problike(lpz[b, : int(lens[b])])
+                    nb = [(list(pfx[1:]), sc)
+                          for pfx, sc in cands[:nbest]]  # strip leading sos
+                    hyp_ids.append(nb[0][0] if nb else [])
+                    nbest_lists.append(nb)
+            else:
+                hyp_ids = ctc_greedy_decode(logits, hs_len)[: len(chunk)]
         for b, item in enumerate(chunk):
             _, ref_id = tokenizer.encode(item["text"])
             _, ref = tokenizer.decode(ref_id, no_special=True)
@@ -110,6 +140,15 @@ def main(argv=None):
             dist = acc.add(ref, hyp)
             print(f"id {item['id']}\nref: {ref}\nhyp: {hyp}\ndis: {dist}")
             out.write(f"{hyp} ({item['id']})\n")
+            if nbest_out is not None:
+                cands = hyps.nbest_ids(b) if hyps is not None \
+                    else (nbest_lists[b] if bs_decoder is not None else [])
+                for rank, (ids, sc) in enumerate(cands[:nbest]):
+                    _, text = tokenizer.decode(ids, no_special=True)
+                    nbest_out.write(
+                        f"{item['id']}-{rank + 1} {sc:.4f} {text}\n")
+    if nbest_out is not None:
+        nbest_out.close()
     out.close()
     print(f"Totol WER is {acc.rate}")
     print(acc.report())

@@ -53,6 +53,18 @@ class BeamHypotheses:
         seq = self.tokens[b, 0, :n].tolist()
         return seq[1:-1] if strip else seq
 
+    def nbest_ids(self, b: int, strip: bool = True):
+        """[(token_ids, score)] for utterance ``b``, best-first; empty-pool
+        entries (LOG_ZERO scores) are dropped."""
+        out = []
+        for k in range(self.tokens.shape[1]):
+            n = int(self.lengths[b, k])
+            if n <= 0 or self.scores[b, k] <= LOG_ZERO / 2:
+                continue
+            seq = self.tokens[b, k, :n].tolist()
+            out.append((seq[1:-1] if strip else seq, float(self.scores[b, k])))
+        return out
+
 
 def _logaddexp(a, b):
     m = jnp.maximum(a, b)

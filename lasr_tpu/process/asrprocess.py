@@ -41,11 +41,29 @@ class ASRProcess:
         trans = dc.get("test_data_config", {}).get("kwargs", {}).get(
             "audio_trans", ["norm", "fbank:80"])
         self.frontend = DeviceFrontend([t for t in trans if t != "specaug"])
-        self.decoder = CTCAttBeamDecoder(
-            self.model, self.variables,
-            sos=self.tokenizer.ID_VALUE_SOS, eos=self.tokenizer.ID_VALUE_EOS,
-            beam=cfg.get("beam", 10), ctc_beam=cfg.get("ctc_beam", 15),
-            ctc_weight=cfg.get("ctc_weight", 0.5), lm_weight=0.0)
+        from lasr_tpu.decode.lm import build_lm
+        lm, lm_weight = build_lm(cfg)
+        self.method = cfg.get("decode_method", "ctc_att")
+        self.decoder = None
+        self.bs_decoder = None
+        if self.method in ("ctc_att", "ctc_att_online"):
+            self.decoder = CTCAttBeamDecoder(
+                self.model, self.variables,
+                sos=self.tokenizer.ID_VALUE_SOS,
+                eos=self.tokenizer.ID_VALUE_EOS,
+                beam=cfg.get("beam", 10), ctc_beam=cfg.get("ctc_beam", 15),
+                ctc_weight=cfg.get("ctc_weight", 0.5),
+                nbest=int(cfg.get("nbest", 1)), lm=lm, lm_weight=lm_weight,
+                online=self.method == "ctc_att_online")
+        elif self.method == "ctc_bs":
+            from lasr_tpu.decode.ctc_bs import CTC_Decoder
+            self.bs_decoder = CTC_Decoder(
+                beam_size=cfg.get("beam", 10),
+                ctc_beam=cfg.get("ctc_beam", 15),
+                sos=self.tokenizer.ID_VALUE_SOS, rnn_lm=lm,
+                lm_rate=lm_weight)
+        elif self.method != "ctc_greedy":
+            raise ValueError(f"unknown decode_method {self.method!r}")
 
     def frontend_wave(self, wav_path: str) -> Tuple[np.ndarray, int]:
         wav, sr = reader.read_audio(wav_path)
@@ -55,11 +73,24 @@ class ASRProcess:
         return np.asarray(wav, dtype=np.float32), len(wav)
 
     def model_forward(self, wav: np.ndarray, n: int) -> List[int]:
+        import jax
         import jax.numpy as jnp
         feats, feat_len = self.frontend(
             jnp.asarray(wav[None, :]), jnp.asarray([n], dtype=jnp.int32))
-        hyps = self.decoder(feats, feat_len)
-        return hyps.best_ids(0)  # sos/eos stripped
+        if self.decoder is not None:
+            hyps = self.decoder(feats, feat_len)
+            return hyps.best_ids(0)  # sos/eos stripped
+        hs, hs_len = self.model.apply(self.variables, feats, feat_len,
+                                      method=self.model.encode)
+        logits = self.model.apply(self.variables, hs,
+                                  method=self.model.ctc_logits)
+        if self.bs_decoder is not None:
+            lpz = np.asarray(jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1))[0, : int(hs_len[0])]
+            cands = self.bs_decoder.decode_problike(lpz)
+            return list(cands[0][0][1:]) if cands else []
+        from lasr_tpu.decode.greedy import ctc_greedy_decode
+        return ctc_greedy_decode(logits, hs_len)[0]
 
     def backend(self, token_ids: List[int]) -> Tuple[List[str], str]:
         return self.tokenizer.decode(token_ids, no_special=True)

@@ -55,3 +55,115 @@ def test_toy_recipe_end_to_end(tmp_path):
     # 4 dev utterances decoded
     lines = (exp / "decode.txt").read_text().strip().split("\n")
     assert len(lines) == 4
+
+    # every decode method dispatches from YAML alone (reference
+    # decode_lighting.py:136-159): ctc_bs, ctc_greedy, and ctc_att with
+    # nbest emission + RNNLM shallow fusion
+    import yaml
+    base_cfg = yaml.safe_load((workdir / "conf" / "decode.yaml").read_text())
+
+    # a tiny RNNLM checkpoint for fusion (random weights — exercises the
+    # lm_config/lm_path plumbing, not LM quality)
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    sys.path.insert(0, REPO)
+    from lasr_tpu.data.tokenizer import CharTokenizer
+    from lasr_tpu.modules.rnn import RNNCellStack
+    tok = CharTokenizer(str(workdir / "data" / "dict.txt"))
+    lm_kwargs = dict(input_dim=tok.dict_size(), output_dim=tok.dict_size(),
+                     n_layers=1, n_units=16, dropout_rate=0.0)
+    lm_mod = RNNCellStack(**lm_kwargs)
+    lm_vars = lm_mod.init(jax.random.PRNGKey(0), None,
+                          jnp.zeros((1,), jnp.int32))
+    lm_dir = exp / "lm_ckpt"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(lm_dir), {"params": lm_vars["params"]})
+
+    variants = {
+        "ctc_bs": {"decode_method": "ctc_bs"},
+        "ctc_greedy": {"decode_method": "ctc_greedy"},
+        "ctc_att_nbest_lm": {
+            "decode_method": "ctc_att", "nbest": 2, "lm_rate": 0.2,
+            "lm_path": str(lm_dir),
+            "lm_config": {"name": "lasr_tpu.modules.rnn:RNNCellStack",
+                          "kwargs": lm_kwargs}},
+    }
+    for name, overrides in variants.items():
+        cfg = dict(base_cfg)
+        cfg["decode_config"] = {**base_cfg["decode_config"], **overrides}
+        cfg_path = workdir / "conf" / f"decode_{name}.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bin", "decode.py"),
+             "-train_config", str(exp / "hparams.yaml"),
+             "-decode_config", str(cfg_path),
+             "-model_path", str(exp / "checkpoints"),
+             "-avg", "2", "-choose", "last",
+             "-output_file", str(exp / f"decode_{name}.txt")],
+            cwd=workdir, env=env, capture_output=True, text=True)
+        assert r.returncode == 0, (name, r.stderr[-4000:])
+        assert "Totol WER is" in r.stdout, name
+        lines = (exp / f"decode_{name}.txt").read_text().strip().split("\n")
+        assert len(lines) == 4, name
+    # nbest file written with ranked scored hypotheses
+    nb = (exp / "decode_ctc_att_nbest_lm.txt.nbest").read_text().strip()
+    assert nb and all(line.split()[0].endswith(("-1", "-2"))
+                      for line in nb.split("\n"))
+
+
+@pytest.mark.slow
+def test_toy_online_recipe_decodes(tmp_path):
+    """ctc_att_online from YAML alone: train a tiny streaming model through
+    bin/train.py, decode with decode_method: ctc_att_online."""
+    import yaml
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+
+    workdir = tmp_path / "asr_toy_online"
+    shutil.copytree(TOY, workdir)
+    subprocess.run([sys.executable, "gen_data.py"], cwd=workdir, env=env,
+                   check=True)
+    cfg = yaml.safe_load((workdir / "conf" / "config.yaml").read_text())
+    mk = cfg["model_config"]["kwargs"]
+    cfg["model_config"] = {
+        "name": "lasr_tpu.models.e2e_online:E2E_Transformer_CTC_Online",
+        "kwargs": {
+            "idim": 80, "odim": 0,
+            "encoder_attention_dim": 32, "encoder_attention_heads": 2,
+            "encoder_left_chunk": 8, "encoder_center_chunk": 8,
+            "encoder_right_chunk": 8,
+            "encoder_linear_units": 64, "encoder_num_blocks": 1,
+            "decoder_attention_dim": 32, "decoder_self_attention_heads": 2,
+            "decoder_src_attention_heads": 2, "decoder_linear_units": 64,
+            "decoder_num_block": 1, "encoder_dropout_rate": 0.0,
+            "decoder_dropout_rate": 0.0, "ctc_dropout": 0.0,
+            "decoder_src_attention_sigmoid_noise": 0.0,
+        }}
+    del mk
+    (workdir / "conf" / "config.yaml").write_text(yaml.safe_dump(cfg))
+    dcfg = yaml.safe_load((workdir / "conf" / "decode.yaml").read_text())
+    dcfg["decode_config"]["decode_method"] = "ctc_att_online"
+    (workdir / "conf" / "decode.yaml").write_text(yaml.safe_dump(dcfg))
+
+    exp = workdir / "exp"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "train.py"),
+         "-config", "conf/config.yaml", "-exp_dir", str(exp),
+         "-num_epochs", "2", "-num_devices", "1",
+         "-log_interval", "5", "-num_workers", "1"],
+        cwd=workdir, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-4000:]
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "decode.py"),
+         "-train_config", str(exp / "hparams.yaml"),
+         "-decode_config", "conf/decode.yaml",
+         "-model_path", str(exp / "checkpoints"),
+         "-avg", "1", "-choose", "last",
+         "-output_file", str(exp / "decode_online.txt")],
+        cwd=workdir, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "Totol WER is" in r.stdout
+    lines = (exp / "decode_online.txt").read_text().strip().split("\n")
+    assert len(lines) == 4
