@@ -118,7 +118,7 @@ def main(argv=None):
         else:
             import jax
             hs, hs_len = model.apply(variables, feats, feat_len,
-                                     method=model.encode)
+                                     solo_pad=True, method=model.encode)
             logits = model.apply(variables, hs, method=model.ctc_logits)
             if bs_decoder is not None:
                 lpz = np.asarray(jax.nn.log_softmax(

@@ -295,7 +295,11 @@ class CTCAttBeamDecoder:
             hs, hs_len = self.model.apply(self.variables, feats, feat_len,
                                           method=self.model.encode_online)
         else:
+            # solo_pad: the reference decodes utterances one at a time
+            # (decode_lighting.py:129); per-row solo lengths keep batched
+            # decode bit-equivalent to that regardless of bucket padding
             hs, hs_len = self.model.apply(self.variables, feats, feat_len,
+                                          solo_pad=True,
                                           method=self.model.encode)
         # search numerics run in f32 regardless of the model compute dtype
         lpz = jax.nn.log_softmax(

@@ -55,7 +55,21 @@ class E2EBase(nn.Module):
 
     # ---- decode hooks (reference e2e_base.py:50-91) ----
 
-    def encode(self, x, xlen, deterministic: bool = True):
+    def encode(self, x, xlen, deterministic: bool = True,
+               solo_pad: bool = False):
+        """``solo_pad=True`` = decode-time semantics: each row's length and
+        conv padding behave as if the utterance were encoded alone, making
+        batched decode bit-equivalent to the reference's one-at-a-time
+        decode driver (decode_lighting.py:129)."""
+        if solo_pad:
+            import inspect
+            accepts = "solo_pad" in inspect.signature(
+                type(self.encoder).__call__).parameters
+            if accepts:
+                return self.encoder(x, xlen, deterministic=deterministic,
+                                    solo_pad=True)
+            # chunked/streaming encoders window per chunk; solo-pad
+            # semantics don't apply — fall through
         return self.encoder(x, xlen, deterministic=deterministic)
 
     def ctc_logits(self, hs, deterministic: bool = True):

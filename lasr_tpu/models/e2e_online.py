@@ -181,7 +181,11 @@ class E2E_Transformer_CTC_Univ_Dynamic(nn.Module):
         }
 
     def encode(self, x, xlen, online: bool = False,
-               deterministic: bool = True):
+               deterministic: bool = True, solo_pad: bool = False):
+        # solo_pad is accepted for decoder-API compatibility; the dual
+        # encoder's chunk-mask views already window attention per block,
+        # so the offline/online split governs padding semantics here
+        del solo_pad
         if online:
             hs, hs_len = self.encoder.forward_online(
                 x, xlen, deterministic=deterministic)

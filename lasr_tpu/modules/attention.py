@@ -86,6 +86,51 @@ class MultiHeadedAttention(nn.Module):
         return self.attend(q, k, v, mask, deterministic)
 
 
+class _PosLinear(nn.Module):
+    """Bias-free position projection (the reference's ``linear_pos``).
+
+    Same parameter tree path/shape/init as ``nn.Dense(features,
+    use_bias=False)`` — torch checkpoint mapping is unchanged — but the
+    kernel is also directly accessible (``get_kernel``) so the folded
+    rel-position path can contract it into the query side instead of
+    projecting the full ±(T-1) table every layer.
+    """
+
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+
+    def __call__(self, x):
+        x, kernel = nn.dtypes.promote_dtype(x, self.kernel, dtype=self.dtype)
+        return x @ kernel
+
+    def get_kernel(self):
+        (kernel,) = nn.dtypes.promote_dtype(self.kernel, dtype=self.dtype)
+        return kernel
+
+
+def build_skewed_pos_table(pos_emb: jnp.ndarray) -> jnp.ndarray:
+    """(1, 2T-1, M) relative PE table → (T, T, M) with out[i, j] =
+    pos_emb[0, T-1-i+j] — the rel_shift index map materialized on the
+    BATCH-INDEPENDENT table (same pad/reshape skew as ``rel_shift``, but
+    once per encoder forward instead of per layer per batch, and with no
+    gradient: the sinusoid table is constant).  See
+    ``RelPositionMultiHeadedAttention`` for how it is consumed.
+    """
+    e = pos_emb[0]                                  # (P, M), P = 2T-1
+    P, M = e.shape
+    T = (P + 1) // 2
+    x = jnp.broadcast_to(e[None], (T, P, M))
+    x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))        # (T, P+1, M)
+    x = x.reshape(P + 1, T, M)[1:]                  # (P, T, M)
+    x = x.reshape(T, P, M)
+    return x[:, :T]
+
+
 def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     """Transformer-XL relative shift (reference attention.py:141-161).
 
@@ -110,8 +155,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
     def setup(self):
         super().setup()
-        self.linear_pos = nn.Dense(self.n_feat, use_bias=False,
-                                   dtype=self.dtype, name="linear_pos")
+        self.linear_pos = _PosLinear(self.n_feat, self.n_feat,
+                                     dtype=self.dtype, name="linear_pos")
         init = nn.initializers.xavier_uniform()
         self.pos_bias_u = self.param("pos_bias_u", init, (self.n_head, self.d_k))
         self.pos_bias_v = self.param("pos_bias_v", init, (self.n_head, self.d_k))
@@ -152,17 +197,36 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         return self.linear_out(ctx.reshape(B, T, self.n_feat))
 
     def __call__(self, query, key, value, pos_emb, mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, pos_table=None):
+        """``pos_table``: optional pre-skewed (T, T, M) table from
+        ``build_skewed_pos_table(pos_emb)``.  When given (and the shapes are
+        the plain self-attention case), the position score is computed as
+        ``(q_v @ W_pos)[b,h,i,:] · pos_table[i,j,:]`` — mathematically the
+        same rel-shift contraction, but the shift lives on the shared
+        gradient-free table, so no (B, H, T, 2T-1) tensor, pad, or relayout
+        reshape is ever materialized (per layer, fwd or bwd).  On TPU this
+        removes the dominant data-formatting cost of rel-pos attention.
+        """
         if self._pallas_ok(query, key, pos_emb, mask, deterministic):
             return self._pallas_attend(query, key, value, pos_emb, mask)
         q = self.project_q(query)                       # (B, T1, H, dk)
         k, v = self.project_kv(key, value)              # (B, T2, H, dk)
-        p = self._split(self.linear_pos(pos_emb))       # (1|B, 2T-1, H, dk)
 
         q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
         # content score (matrix a+c) and position score (matrix b+d)
         matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+        T1, T2 = q.shape[1], k.shape[1]
+        if (pos_table is not None and not self.zero_triu and T1 == T2
+                and pos_table.shape[0] == T1):
+            kernel = self.linear_pos.get_kernel()       # (M, n_feat)
+            kmat = kernel.reshape(kernel.shape[0], self.n_head, self.d_k)
+            z = jnp.einsum("bqhd,mhd->bhqm", q_v, kmat.astype(q_v.dtype))
+            matrix_bd = jnp.einsum("bhqm,qkm->bhqk", z,
+                                   pos_table.astype(z.dtype))
+            scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k)
+            return self._softmax_attend(scores, v, mask, deterministic)
+        p = self._split(self.linear_pos(pos_emb))       # (1|B, 2T-1, H, dk)
         if p.shape[0] == 1:
             # shared pos table: contract without materializing a per-batch
             # copy (the table is (1, 2T-1, H, dk))

@@ -37,11 +37,18 @@ class ConvolutionModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: (B, T, C) → (B, T, C)."""
+    def __call__(self, x, deterministic: bool = True, zero_mask=None):
+        """x: (B, T, C) → (B, T, C).
+
+        ``zero_mask``: optional (B, T) bool, True = valid frame.  Zeroes the
+        GLU output at invalid frames before the depthwise conv so batched
+        decode reproduces the zeros the conv's implicit padding provides
+        when the utterance is encoded alone (solo-pad decode semantics)."""
         h = nn.Conv(2 * self.channels, (1,), dtype=self.dtype,
                     name="pointwise_conv1")(x)
         h = nn.glu(h, axis=-1)
+        if zero_mask is not None:
+            h = jnp.where(zero_mask[..., None], h, 0.0)
         pad = (self.kernel_size - 1) // 2
         h = nn.Conv(self.channels, (self.kernel_size,), padding=[(pad, pad)],
                     feature_group_count=self.channels, dtype=self.dtype,
@@ -86,7 +93,8 @@ class ConformerEncoderLayer(nn.Module):
         raise NotImplementedError(self.positionwise_layer_type)
 
     @nn.compact
-    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True,
+                 conv_zero_mask=None, pos_table=None):
         drop = nn.Dropout(self.dropout_rate)
         ff_scale = 0.5 if self.macaron_style else 1.0
 
@@ -112,7 +120,8 @@ class ConformerEncoderLayer(nn.Module):
                 self.attention_heads, self.size, self.attention_dropout_rate,
                 use_pallas=self.use_pallas_attention,
                 dtype=self.dtype, name="self_attn")(
-                x, x, x, pos_emb, mask, deterministic=deterministic)
+                x, x, x, pos_emb, mask, deterministic=deterministic,
+                pos_table=pos_table)
         else:
             att = MultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
@@ -135,7 +144,8 @@ class ConformerEncoderLayer(nn.Module):
             x = residual + drop(
                 ConvolutionModule(self.size, self.cnn_module_kernel,
                                   dtype=self.dtype, name="conv_module")(
-                    x, deterministic=deterministic),
+                    x, deterministic=deterministic,
+                    zero_mask=conv_zero_mask),
                 deterministic=deterministic)
             if not self.normalize_before:
                 x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype,
@@ -182,7 +192,8 @@ class _ScanConformerLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, mask, pos_emb):
+    def __call__(self, carry, mask, pos_emb, conv_zero_mask=None,
+                 pos_table=None):
         layer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(4,)) \
             if self.remat else ConformerEncoderLayer
         layer = layer_cls(
@@ -193,7 +204,8 @@ class _ScanConformerLayer(nn.Module):
             self.use_cnn_module, self.cnn_module_kernel,
             self.normalize_before, self.concat_after,
             self.use_pallas_attention, dtype=self.dtype, name="block")
-        x = layer(carry.x, mask, pos_emb, carry.deterministic)
+        x = layer(carry.x, mask, pos_emb, carry.deterministic, conv_zero_mask,
+                  pos_table)
         return carry.replace(x=x), ()
 
 
@@ -279,7 +291,8 @@ class ConformerEncoder(nn.Module):
                 _ScanConformerLayer,
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast),
                 length=self.num_blocks,
                 metadata_params={nn.PARTITION_NAME: "layers"})
             self.encoders_scanned = scanned(remat=self.remat, name="layers",
@@ -292,10 +305,16 @@ class ConformerEncoder(nn.Module):
         if self.normalize_before:
             self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
 
-    def __call__(self, x, x_len, att_mask=None, deterministic: bool = True):
+    def __call__(self, x, x_len, att_mask=None, deterministic: bool = True,
+                 solo_pad: bool = False):
+        """``solo_pad``: decode-time semantics — per-row lengths as if each
+        utterance were encoded alone, and zeros past the valid length before
+        the conv module (the reference decodes utterances one at a time, so
+        this makes batched decode bit-equivalent to its solo decode)."""
         rel = self.pos_enc_layer_type == "rel_pos"
         if self.input_layer == "conv2d":
-            out, h_len = self.embed(x, x_len, deterministic=deterministic)
+            out, h_len = self.embed(x, x_len, deterministic=deterministic,
+                                    solo_len=solo_pad)
         elif self.input_layer == "linear":
             h = self.embed_linear(x)
             h = self.embed_norm(h)
@@ -317,13 +336,23 @@ class ConformerEncoder(nn.Module):
             if att_mask.ndim == 2:
                 att_mask = att_mask[None]
             mask = mask & att_mask
+        conv_zero = pad if solo_pad else None
+        # pre-skew the shared rel-position table ONCE per forward (gradient-
+        # free): layers then contract against it with no per-layer shift
+        pos_table = None
+        if rel and pos_emb is not None and not self.use_pallas_attention \
+                and pos_emb.shape[0] == 1 and pos_emb.shape[1] == 2 * T - 1:
+            from lasr_tpu.modules.attention import build_skewed_pos_table
+            pos_table = build_skewed_pos_table(pos_emb)
         if self.scan_layers:
             h, _ = self.encoders_scanned(
-                _LayerCarry(h, deterministic), mask, pos_emb)
+                _LayerCarry(h, deterministic), mask, pos_emb, conv_zero,
+                pos_table)
             h = h.x
         else:
             for layer in self.encoders:
-                h = layer(h, mask, pos_emb, deterministic)
+                h = layer(h, mask, pos_emb, deterministic, conv_zero,
+                          pos_table)
         if self.normalize_before:
             h = self.after_norm(h)
         return h, h_len

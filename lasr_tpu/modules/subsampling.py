@@ -22,15 +22,29 @@ def conv_out_T(T: int, kernel: int, stride: int) -> int:
     return (T - kernel) // stride + 1
 
 
-def subsampled_len(length, T: int, kernel: int = 3, stride: int = 2):
+def subsampled_len(length, T: int, kernel: int = 3, stride: int = 2,
+                   solo: bool = False):
     """Valid output count under the reference's mask-slice convention.
 
     ``mask[:, :-(kernel-1):stride]`` keeps positions 0, s, 2s, ... up to
     T-kernel; a position j is valid iff j < length.  Works on ints or traced
     arrays.
+
+    ``solo=True`` instead reproduces the length the reference produces when
+    the utterance is encoded ALONE (T == length): the per-row cap is
+    ``length - (kernel-1)`` rather than the batch-wide ``T - (kernel-1)``.
+    The reference's decode driver feeds utterances one at a time
+    (decode_lighting.py:129, ctc_att_decoder.py:163-165), so batched decode
+    must use this convention — under the batch convention rows shorter than
+    the bucket gain 1-2 trailing frames whose conv taps read padding.
     """
-    capped = jnp.minimum(length, T - (kernel - 1)) if not isinstance(length, int) \
-        else min(length, T - (kernel - 1))
+    if solo:
+        capped = length - (kernel - 1)
+        capped = jnp.maximum(capped, 0) if not isinstance(length, int) \
+            else max(capped, 0)
+    else:
+        capped = jnp.minimum(length, T - (kernel - 1)) \
+            if not isinstance(length, int) else min(length, T - (kernel - 1))
     return (capped + stride - 1) // stride
 
 
@@ -47,8 +61,12 @@ class Conv2dSubsampling(nn.Module):
     stages = ((3, 2), (3, 2))
 
     @nn.compact
-    def __call__(self, x, x_len, offset=0, deterministic: bool = True):
-        """x: (B, T, idim) → ((B, T', odim) or tuple with pos_emb, (B,) T'len)."""
+    def __call__(self, x, x_len, offset=0, deterministic: bool = True,
+                 solo_len: bool = False):
+        """x: (B, T, idim) → ((B, T', odim) or tuple with pos_emb, (B,) T'len).
+
+        ``solo_len``: compute per-row lengths as if each row were encoded
+        alone (decode-time semantics; see ``subsampled_len``)."""
         h = x[..., None].astype(self.dtype)  # (B, T, F, 1) NHWC
         T = x.shape[1]
         new_len = x_len
@@ -57,7 +75,7 @@ class Conv2dSubsampling(nn.Module):
                         strides=(stride, stride), padding="VALID",
                         dtype=self.dtype)(h)
             h = nn.relu(h)
-            new_len = subsampled_len(new_len, T, kernel, stride)
+            new_len = subsampled_len(new_len, T, kernel, stride, solo=solo_len)
             T = conv_out_T(T, kernel, stride)
         B, Tp, Fp, C = h.shape
         h = h.transpose(0, 1, 3, 2).reshape(B, Tp, C * Fp)

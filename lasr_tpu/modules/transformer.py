@@ -143,9 +143,11 @@ class Encoder(nn.Module):
         if self.normalize_before:
             self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
 
-    def embed_input(self, x, x_len, deterministic: bool = True):
+    def embed_input(self, x, x_len, deterministic: bool = True,
+                    solo_len: bool = False):
         if self.input_layer == "conv2d":
-            return self.embed(x, x_len, deterministic=deterministic)
+            return self.embed(x, x_len, deterministic=deterministic,
+                              solo_len=solo_len)
         if self.input_layer == "linear":
             h = self.embed_linear(x)
             h = self.embed_norm(h)
@@ -157,10 +159,14 @@ class Encoder(nn.Module):
                                   deterministic=deterministic), x_len
         return self.embed_pos(x, deterministic=deterministic), x_len
 
-    def __call__(self, x, x_len, att_mask=None, deterministic: bool = True):
+    def __call__(self, x, x_len, att_mask=None, deterministic: bool = True,
+                 solo_pad: bool = False):
         """att_mask: optional (T', T') or (B, T', T') extra attention
-        constraint (e.g. streaming chunk mask) combined with padding."""
-        h, h_len = self.embed_input(x, x_len, deterministic)
+        constraint (e.g. streaming chunk mask) combined with padding.
+        ``solo_pad``: decode-time per-row lengths as if each utterance were
+        encoded alone (see Conv2dSubsampling.subsampled_len)."""
+        h, h_len = self.embed_input(x, x_len, deterministic,
+                                    solo_len=solo_pad)
         T = h.shape[1]
         pad = jnp.arange(T)[None, :] < h_len[:, None]  # (B, T)
         mask = pad[:, None, :]                          # (B, 1, T)

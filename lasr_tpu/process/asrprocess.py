@@ -81,7 +81,7 @@ class ASRProcess:
             hyps = self.decoder(feats, feat_len)
             return hyps.best_ids(0)  # sos/eos stripped
         hs, hs_len = self.model.apply(self.variables, feats, feat_len,
-                                      method=self.model.encode)
+                                      solo_pad=True, method=self.model.encode)
         logits = self.model.apply(self.variables, hs,
                                   method=self.model.ctc_logits)
         if self.bs_decoder is not None:

@@ -71,6 +71,9 @@ def test_beam_batch_invariance(tiny_model):
     n = int(both.lengths[1, 0])
     m = int(solo.lengths[0, 0])
     assert both.tokens[1, 0, :n].tolist() == solo.tokens[0, 0, :m].tolist()
+    # scores too: solo-pad encode semantics make batched decode equal to
+    # one-at-a-time decode regardless of bucket padding
+    assert abs(float(both.scores[1, 0]) - float(solo.scores[0, 0])) < 1e-5
 
 
 def test_beam_with_rnnlm_matches_replica(tiny_model):

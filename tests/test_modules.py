@@ -225,3 +225,61 @@ def test_conformer_scan_layers_matches_loop():
                                mutable=["batch_stats"],
                                rngs={"dropout": jax.random.PRNGKey(2)})
     assert "batch_stats" in mut
+
+
+def test_skewed_pos_table_indexing():
+    """build_skewed_pos_table[i, j] == pos_emb[0, T-1-i+j]."""
+    from lasr_tpu.modules.attention import build_skewed_pos_table
+    T, M = 7, 4
+    rng = np.random.default_rng(0)
+    e = rng.standard_normal((1, 2 * T - 1, M)).astype(np.float32)
+    got = np.asarray(build_skewed_pos_table(jnp.asarray(e)))
+    for i in range(T):
+        for j in range(T):
+            np.testing.assert_allclose(got[i, j], e[0, T - 1 - i + j],
+                                       atol=0, rtol=0)
+
+
+def test_folded_rel_attention_matches_shift_path():
+    """The pos_table contraction must equal the rel_shift path exactly
+    (same math, reordered contraction) on both the attention module and a
+    full conformer encoder."""
+    from lasr_tpu.modules.attention import build_skewed_pos_table
+    B, T, H, F = 2, 11, 2, 16
+    att = RelPositionMultiHeadedAttention(H, F, 0.0)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, T, F))
+    pos = jax.random.normal(jax.random.PRNGKey(1), (1, 2 * T - 1, F))
+    mask = (jnp.arange(T)[None, :] < jnp.asarray([[T], [T - 4]]))[:, None, :]
+    vars_ = att.init(jax.random.PRNGKey(2), x, x, x, pos, mask)
+    want = att.apply(vars_, x, x, x, pos, mask)
+    table = build_skewed_pos_table(pos)
+    got = att.apply(vars_, x, x, x, pos, mask, pos_table=table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_conformer_solo_pad_matches_solo_encode():
+    """solo_pad=True batched encode == encoding each row alone (the decode
+    contract: reference decode is one-utterance-at-a-time)."""
+    enc = ConformerEncoder(
+        idim=12, attention_dim=16, attention_heads=2, linear_units=32,
+        num_blocks=2, dropout_rate=0.0, pos_enc_layer_type="rel_pos",
+        selfattention_layer_type="rel_selfattn", use_cnn_module=True,
+        cnn_module_kernel=7)
+    rng = np.random.default_rng(0)
+    lens = [41, 29, 17]
+    T = max(lens)
+    x = np.zeros((3, T, 12), np.float32)
+    for i, n in enumerate(lens):
+        x[i, :n] = rng.standard_normal((n, 12))
+    vars_ = enc.init(jax.random.PRNGKey(1), jnp.asarray(x),
+                     jnp.asarray(lens))
+    hb, lb = enc.apply(vars_, jnp.asarray(x), jnp.asarray(lens),
+                       solo_pad=True)
+    for i, n in enumerate(lens):
+        hs, ls = enc.apply(vars_, jnp.asarray(x[i : i + 1, :n]),
+                           jnp.asarray([n]))
+        assert int(lb[i]) == int(ls[0])
+        np.testing.assert_allclose(np.asarray(hb[i, : int(ls[0])]),
+                                   np.asarray(hs[0, : int(ls[0])]),
+                                   atol=2e-5)
