@@ -31,7 +31,7 @@ from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 
-from lasr_tpu.data import reader
+from lasr_tpu.data import reader, resample
 
 SAMPLE_RATE = 16000
 
@@ -123,7 +123,7 @@ class AudioDataSet:
         """Decode the batch's audio: native C++ thread-pool loader when
         available (all-WAV batches), python reader otherwise."""
         paths = [it["wav"] for it in items]
-        if all(p.lower().endswith(".wav") for p in paths):
+        if all(p.lower().endswith((".wav", ".flac")) for p in paths):
             try:
                 from lasr_tpu.data import native_loader
                 if native_loader.available():
@@ -134,7 +134,7 @@ class AudioDataSet:
                     for i in range(len(paths)):
                         w = wav[i, : lens[i]]
                         if rates[i] != SAMPLE_RATE:
-                            w = reader.resample_linear(
+                            w = resample.resample_kaiser(
                                 w, int(rates[i]), SAMPLE_RATE
                             ).astype(np.float32)
                         out.append(w)
@@ -146,7 +146,7 @@ class AudioDataSet:
             wav, sr = reader.read_audio(p)
             wav = reader.average_channels(wav)
             if sr != SAMPLE_RATE:
-                wav = reader.resample_linear(wav, sr, SAMPLE_RATE)
+                wav = resample.resample_kaiser(wav, sr, SAMPLE_RATE)
             out.append(np.asarray(wav, dtype=np.float32))
         return out
 
@@ -189,15 +189,15 @@ class AudioDataSet:
 
     @staticmethod
     def _speed_perturb(wav: np.ndarray, rates=(1.0, 1.1, 0.9)) -> np.ndarray:
+        """Speed perturbation by windowed-sinc resampling at a fixed output
+        rate (the sox `speed` effect the reference applies,
+        datatrans.py:29-40): rate r stretches time by 1/r."""
         ratio = float(np.random.choice(rates))
         if ratio == 1.0:
             return wav
-        n_out = int(round(len(wav) / ratio))
-        src = np.arange(n_out, dtype=np.float64) * ratio
-        lo = np.minimum(src.astype(np.int64), len(wav) - 1)
-        hi = np.minimum(lo + 1, len(wav) - 1)
-        frac = (src - lo).astype(np.float32)
-        return (wav[lo] * (1.0 - frac) + wav[hi] * frac).astype(np.float32)
+        num, den = {0.9: (10, 9), 1.1: (10, 11)}.get(
+            ratio, (round(1000 / ratio), 1000))
+        return resample.resample_ratio(wav, num, den).astype(np.float32)
 
     def batch_indices(self, shuffle: bool = False, seed: int = 0
                       ) -> List[List[int]]:

@@ -111,20 +111,36 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         return read_wav(path)
-    if ext in (".flac", ".mp3"):
+    if ext == ".flac":
+        # first-party decoder (data/flac.py; native fast path in
+        # native/wavio.cc through native_loader) — the reference reads
+        # FLAC via libsndfile (reader.py:23-29)
+        from lasr_tpu.data.flac import read_flac
+        return read_flac(path)
+    if ext == ".mp3":
         raise NotImplementedError(
-            f"{ext} decoding needs a native codec not present in this image; "
-            f"convert to WAV (the reference uses libsndfile/audioread here, "
-            f"reader.py:23-29)")
+            "mp3 decoding needs a native codec not present in this image; "
+            "convert to WAV/FLAC (the reference uses librosa/audioread "
+            "here, reader.py:23-29)")
     raise ValueError(f"unknown audio type for {path}")
 
 
+def _is_flac(path: str) -> bool:
+    return os.path.splitext(path)[1].lower() == ".flac"
+
+
 def get_audio_duration(path: str) -> float:
+    if _is_flac(path):
+        from lasr_tpu.data.flac import flac_info
+        return flac_info(path).duration
     with open(path, "rb") as f:
         return _parse_wav_header(f).duration
 
 
 def get_audio_samplerate(path: str) -> int:
+    if _is_flac(path):
+        from lasr_tpu.data.flac import flac_info
+        return flac_info(path).sample_rate
     with open(path, "rb") as f:
         return _parse_wav_header(f).sample_rate
 
