@@ -69,7 +69,8 @@ def test_asrprocess_one_call(tmp_path):
     batch = next(iter(ds.batches()))
     state = trainer.init_state(batch)
     state, m = trainer.train_step(state, batch)
-    trainer.save_checkpoint(state, {"loss_main": float(m["loss_main"])})
+    trainer.save_checkpoint(state, {"loss_main": float(m["loss_main"])},
+                            wait=True)
 
     asr = ASRProcess(str(tmp_path / "hparams.yaml"),
                      str(tmp_path / "decode.yaml"),

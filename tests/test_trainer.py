@@ -436,3 +436,24 @@ def test_device_prefetch_preserves_order_and_content():
     for i, b in enumerate(out):
         assert b["n_utts"] == i
         assert np.asarray(b["x"]).tolist() == [i, i]
+
+
+def test_async_checkpoint_nonblocking_then_finalize(toy, tmp_path):
+    """save_checkpoint is async (no inline wait): the step loop can keep
+    going, and finalize_checkpoints makes everything durable/restorable.
+    Also pins the host-side step argument (no device sync needed)."""
+    root, tok, ds = toy
+    exp = str(tmp_path / "exp_async")
+    trainer, _ = _make_trainer(tok, exp_dir=exp)
+    batch = next(iter(ds.batches()))
+    state = trainer.init_state(batch)
+    state, _ = trainer.train_step(state, batch)
+    trainer.save_checkpoint(state, step=1)          # async, returns quickly
+    state, _ = trainer.train_step(state, batch)     # old buffers donated
+    trainer.save_checkpoint(state, {"loss_main": 1.0}, step=2)
+    trainer.finalize_checkpoints()
+    mgr_last, mgr_best = trainer._managers()
+    assert mgr_last.latest_step() == 2
+    assert mgr_best.latest_step() == 2
+    restored = trainer.restore_checkpoint(state, step=2)
+    assert int(restored.step) == 2
