@@ -209,8 +209,8 @@ class AudioDataSet:
 
     def batches(self, shuffle: bool = False, seed: int = 0,
                 num_workers: int = 4, prefetch: int = 4,
-                process_index: int = 0, process_count: int = 1
-                ) -> Iterator[Dict]:
+                process_index: int = 0, process_count: int = 1,
+                skip: int = 0) -> Iterator[Dict]:
         """Iterate host batches with threaded read-ahead.
 
         Multi-host data parallelism shards batch order round-robin by
@@ -219,12 +219,19 @@ class AudioDataSet:
         a straggler host missing one collective deadlocks the others — so
         the global order is padded up to a multiple of ``process_count`` by
         cycling batches from the head before sharding.
+
+        ``skip``: drop the first N of this host's batches without reading
+        their audio — deterministic mid-epoch resume (the batch order is a
+        pure function of ``seed``, so a restored run continues exactly
+        where the killed one stopped).
         """
         order = self.batch_indices(shuffle=shuffle, seed=seed)
         if process_count > 1 and order and len(order) % process_count:
             pad = process_count - len(order) % process_count
             order = order + [order[i % len(order)] for i in range(pad)]
         order = order[process_index::process_count]
+        if skip:
+            order = order[skip:]
         if not order:
             return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)

@@ -312,6 +312,41 @@ class Trainer:
             return jax.device_put(leaf, rep)
         return jax.tree.map(fix, tree)
 
+    # loop state (epoch, within-epoch batch index) rides next to the
+    # checkpoints so a resumed run re-enters the SAME deterministic batch
+    # order mid-epoch (order is a pure function of seed+epoch; dataset
+    # `skip=` fast-forwards without reading audio).  Only host 0 writes —
+    # the padded order gives every host identical counts.
+    def _loop_state_path(self) -> str:
+        return os.path.join(os.path.abspath(self.exp_dir), "checkpoints",
+                            "loop_state.json")
+
+    def _write_loop_state(self, step: int, epoch: int, batch_idx: int):
+        if not self.exp_dir or jax.process_index() != 0:
+            return
+        path = self._loop_state_path()
+        try:
+            with open(path) as f:
+                hist = json.load(f)
+        except (OSError, ValueError):
+            hist = {}
+        hist[str(step)] = [epoch, batch_idx]
+        hist = dict(sorted(hist.items(), key=lambda kv: int(kv[0]))[-50:])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(hist, f)
+        os.replace(tmp, path)
+
+    def _read_loop_state(self, step: int):
+        try:
+            with open(self._loop_state_path()) as f:
+                hist = json.load(f)
+            epoch, batch_idx = hist[str(step)]
+            return int(epoch), int(batch_idx)
+        except (OSError, ValueError, KeyError):
+            return None
+
     def save_hparams(self, configs: Dict) -> None:
         os.makedirs(self.exp_dir, exist_ok=True)
         with open(os.path.join(self.exp_dir, "hparams.yaml"), "w") as f:
@@ -344,12 +379,17 @@ class Trainer:
         reference's manual ``-resume_ckpt`` (SURVEY.md §5: the reference has
         no failure-recovery subsystem).
         """
+        start_epoch, start_skip = 0, 0
         if auto_resume and self.exp_dir:
             mgr_last, _ = self._managers()
             latest = mgr_last.latest_step()
             if latest is not None:
                 state = self.restore_checkpoint(state, step=latest)
-                logging.info("auto-resumed from step %d", latest)
+                loop = self._read_loop_state(latest)
+                if loop is not None:
+                    start_epoch, start_skip = loop
+                logging.info("auto-resumed from step %d (epoch %d, "
+                             "batch %d)", latest, start_epoch, start_skip)
         metrics_path = os.path.join(self.exp_dir, "metrics.jsonl") \
             if self.exp_dir else None
         if metrics_path:
@@ -360,16 +400,20 @@ class Trainer:
         # host-side step counter: the interval check must not force a
         # device sync on state.step every iteration (round-1 VERDICT item)
         host_step = int(state.step)
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
+            skip = start_skip if epoch == start_epoch else 0
+            batch_idx = skip
             pending = []
             from lasr_tpu.parallel.mesh import batch_sharding
             for batch in _device_prefetch(train_dataset.batches(
                     shuffle=True, seed=self.seed + epoch,
                     num_workers=num_workers,
-                    process_index=proc_idx, process_count=proc_cnt),
+                    process_index=proc_idx, process_count=proc_cnt,
+                    skip=skip),
                     sharding=batch_sharding(self.mesh)):
                 state, metrics = self.train_step(state, batch)
                 host_step += 1
+                batch_idx += 1
                 pending.append((state.step, metrics, batch["n_utts"]))
                 if len(pending) >= self.log_interval:
                     self._flush_metrics(pending, epoch, metrics_path, t0)
@@ -378,6 +422,7 @@ class Trainer:
                         self.exp_dir and \
                         host_step % checkpoint_interval_steps == 0:
                     self.save_checkpoint(state, step=host_step)
+                    self._write_loop_state(host_step, epoch, batch_idx)
             if pending:
                 self._flush_metrics(pending, epoch, metrics_path, t0)
             valid_metrics = None
@@ -394,6 +439,7 @@ class Trainer:
                                 for k, v in valid_metrics.items()}}) + "\n")
             if save_checkpoints and self.exp_dir:
                 self.save_checkpoint(state, valid_metrics, step=host_step)
+                self._write_loop_state(host_step, epoch + 1, 0)
         if save_checkpoints and self.exp_dir:
             self.finalize_checkpoints()
         return state

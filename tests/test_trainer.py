@@ -280,10 +280,11 @@ def test_auto_resume_and_interval_checkpoints(toy, tmp_path):
                         checkpoint_interval_steps=1)
     steps_done = int(state.step)
     assert steps_done >= 1
-    # a fresh trainer auto-resumes at the last step and continues
+    # a fresh trainer auto-resumes at the last step and continues; epochs
+    # are absolute (Lightning semantics): the finished epoch 0 is skipped
     trainer2, _ = _make_trainer(tok, exp_dir=exp)
     s2 = trainer2.init_state(batch)
-    s2 = trainer2.fit(s2, ds, num_epochs=1, num_workers=1, auto_resume=True)
+    s2 = trainer2.fit(s2, ds, num_epochs=2, num_workers=1, auto_resume=True)
     assert int(s2.step) == steps_done * 2
 
 
@@ -457,3 +458,49 @@ def test_async_checkpoint_nonblocking_then_finalize(toy, tmp_path):
     assert mgr_best.latest_step() == 2
     restored = trainer.restore_checkpoint(state, step=2)
     assert int(restored.step) == 2
+
+
+class _KillAfter:
+    """Dataset proxy that raises after N merged batches (simulated crash)."""
+
+    def __init__(self, ds, n):
+        self.ds, self.n = ds, n
+        self.count = 0  # across epochs (batches() is called once per epoch)
+
+    def batches(self, **kw):
+        for b in self.ds.batches(**kw):
+            if self.count == self.n:
+                raise RuntimeError("simulated preemption")
+            self.count += 1
+            yield b
+
+
+def test_kill_and_resume_reproduces_unkilled_run(toy, tmp_path):
+    """Deterministic mid-epoch resume: kill after K steps, auto-resume, and
+    the final parameters match the never-killed run exactly (same batch
+    order via dataset skip=, same step-keyed dropout folds)."""
+    root, tok, ds = toy
+    batch = next(iter(ds.batches()))
+
+    expA = str(tmp_path / "exp_straight")
+    ta, _ = _make_trainer(tok, exp_dir=expA)
+    sa = ta.init_state(batch)
+    sa = ta.fit(sa, ds, num_epochs=2, num_workers=1)
+
+    expB = str(tmp_path / "exp_killed")
+    tb, _ = _make_trainer(tok, exp_dir=expB)
+    sb = tb.init_state(batch)
+    with pytest.raises(RuntimeError, match="simulated preemption"):
+        tb.fit(sb, _KillAfter(ds, 3), num_epochs=2, num_workers=1,
+               checkpoint_interval_steps=1)
+    tb.finalize_checkpoints()
+    tb2, _ = _make_trainer(tok, exp_dir=expB)
+    sb2 = tb2.init_state(batch)
+    sb2 = tb2.fit(sb2, ds, num_epochs=2, num_workers=1, auto_resume=True)
+
+    assert int(sb2.step) == int(sa.step)
+    fa = jax.tree.leaves(sa.params)
+    fb = jax.tree.leaves(sb2.params)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
