@@ -41,7 +41,7 @@ def _get_engine(model, variables, cfg):
                     c, i, me, n_valid=nv))
             logits = model.apply(variables, hs,
                                  method=lambda m, h: m.ctc(h))
-            return logits, new_mems
+            return logits, hs, new_mems
 
         eng = (jit_fbank, jax.jit(encode_ctc))
         _ENGINES[key] = eng
@@ -54,7 +54,9 @@ class StreamingRecognizer:
 
     def __init__(self, model, variables, tokenizer=None, blank: int = 0,
                  fbank: Optional[KaldiFbankConfig] = None,
-                 peak_norm_fallback: float = 1.0):
+                 peak_norm_fallback: float = 1.0,
+                 beam_decoder=None, beam_interval: int = 4,
+                 beam_bucket: int = 64):
         import jax
         import jax.numpy as jnp
         self._jnp = jnp
@@ -71,6 +73,20 @@ class StreamingRecognizer:
         # streaming peak-normalization is impossible (norm is utterance
         # level); a fixed gain stands in (documented deviation)
         self.gain = peak_norm_fallback
+
+        # beam-quality partials (reference semantics: the streamed-encoder
+        # joint search of decode_feat_online, ctc_att_decoder.py:336-519):
+        # every `beam_interval` chunks the accumulated encoder states are
+        # re-scored by the fixed-shape online beam search.  `beam_decoder`
+        # is a CTCAttBeamDecoder built with online=True; its `search` is
+        # driven directly on the chunk outputs (encode_chunk == batch
+        # forward, so this equals decoding the audio prefix).
+        self.beam_decoder = beam_decoder
+        self.beam_interval = max(1, beam_interval)
+        self.beam_bucket = beam_bucket
+        self._hs: List[np.ndarray] = []      # per-chunk (T_c, D) encoder out
+        self._logits: List[np.ndarray] = []  # per-chunk (T_c, V) ctc logits
+        self._beam_tokens: Optional[List[int]] = None
 
         self._samples = np.zeros(0, np.float32)
         self._sample_off = 0          # absolute index of _samples[0]
@@ -137,27 +153,86 @@ class StreamingRecognizer:
             # keys beyond the known stream end are masked only at finalize
             # (mid-stream, processed chunks are fully covered by real audio)
             n_valid = len(self._frames) if final else end
-            logits, self._mems = self._jit_chunk(
+            logits, hs, self._mems = self._jit_chunk(
                 self._jnp.asarray(chunk), self._chunk_idx, self._mems,
                 self._jnp.asarray([n_valid], self._jnp.int32))
             self._chunk_idx += 1
             ids = np.asarray(logits[0]).argmax(-1)
             n_valid = min(self.cur // 4,
                           max(0, (len(avail) + 3) // 4))
+            if self.beam_decoder is not None and n_valid > 0:
+                self._hs.append(np.asarray(hs[0][:n_valid]))
+                self._logits.append(np.asarray(logits[0][:n_valid]))
             for t in ids[:n_valid]:
                 t = int(t)
                 if t != self._prev_emit and t != self.blank:
                     new_tokens.append(t)
                 self._prev_emit = t
+            if self.beam_decoder is not None and not final and \
+                    self._chunk_idx % self.beam_interval == 0:
+                self._beam_tokens = self._run_beam()
         self._tokens.extend(new_tokens)
         return new_tokens
 
-    def finalize(self) -> Tuple[List[int], str]:
-        """Flush remaining frames; returns (all tokens, decoded text)."""
-        self._drain_chunks(final=True)
+    def _run_beam(self) -> Optional[List[int]]:
+        """Online joint beam search over the encoder states seen so far.
+
+        The accumulated per-chunk outputs equal the streamed encoder's
+        forward over the audio prefix (encode_chunk == batch, pinned in
+        test_streaming.py), so this reproduces the reference's
+        ``decode_feat_online`` on the prefix.  Shapes are bucketed to
+        ``beam_bucket`` frames so each bucket compiles once per process.
+        """
+        import jax.nn
+        if not self._hs:
+            return None
+        hs = np.concatenate(self._hs, axis=0)
+        T = len(hs)
+        Tb = -(-T // self.beam_bucket) * self.beam_bucket
+        D = hs.shape[-1]
+        hs_pad = np.zeros((1, Tb, D), hs.dtype)
+        hs_pad[0, :T] = hs
+        logits = np.concatenate(self._logits, axis=0).astype(np.float32)
+        V = logits.shape[-1]
+        # pad frames past hs_len carry a uniform distribution (what the
+        # offline path's log_softmax over zero-padded logits produces)
+        lpz = np.full((1, Tb, V), -np.log(V), np.float32)
+        lpz[0, :T] = np.asarray(
+            jax.nn.log_softmax(self._jnp.asarray(logits), axis=-1))
+        out = self.beam_decoder.search(
+            self._jnp.asarray(hs_pad), self._jnp.asarray([T], self._jnp.int32),
+            self._jnp.asarray(lpz), max_len=Tb)
+        tokens, lengths, _ = (np.asarray(x) for x in out)
+        n = int(lengths[0, 0])
+        if n <= 0:
+            return None
+        return [int(t) for t in tokens[0, 0, :n][1:-1]]
+
+    def partial_result(self) -> Tuple[List[int], str]:
+        """Best current partial: the last beam rescore if enabled (greedy
+        tokens committed since then appended), else the greedy stream."""
+        toks = list(self._beam_tokens) if self._beam_tokens is not None \
+            else list(self._tokens)
+        text = ""
         if self.tokenizer is not None:
-            _, text = self.tokenizer.decode(list(self._tokens),
-                                            no_special=True)
+            _, text = self.tokenizer.decode(list(toks), no_special=True)
+        return toks, text
+
+    def finalize(self) -> Tuple[List[int], str]:
+        """Flush remaining frames; returns (all tokens, decoded text).
+
+        With a ``beam_decoder`` the final result is the online joint beam
+        search over the full utterance's encoder states (beam-quality,
+        reference decode_feat_online semantics); otherwise greedy CTC.
+        """
+        self._drain_chunks(final=True)
+        tokens = list(self._tokens)
+        if self.beam_decoder is not None:
+            beam_tokens = self._run_beam()
+            if beam_tokens is not None:
+                tokens = beam_tokens
+        if self.tokenizer is not None:
+            _, text = self.tokenizer.decode(list(tokens), no_special=True)
         else:
             text = ""
-        return list(self._tokens), text
+        return tokens, text

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lasr_tpu.ops.ctc import (ctc_forward_logprob, ctc_labels_from_padded,
-                              ctc_loss)
+from lasr_tpu.ops.ctc import (ctc_forward_from_logits, ctc_forward_logprob,
+                              ctc_labels_from_padded, ctc_loss)
 from lasr_tpu.utils.text import edit_distance
 
 
@@ -91,16 +91,16 @@ class E2E_Loss:
         self.blank_id = blank_id
 
     def __call__(self, att_out, ctc_out, att_label, ctc_label, hs_len):
-        # losses always reduce in f32, even under a bf16 compute policy
+        # losses always reduce in f32, even under a bf16 compute policy;
+        # the CTC branch folds log-softmax into the lattice selection so the
+        # (B, T, V) tensor is never cast/materialized in f32 (ops/ctc.py)
         att_out = att_out.astype(jnp.float32)
-        ctc_out = ctc_out.astype(jnp.float32)
         utt_valid = hs_len > 0  # dummy bucket-padding rows have hs_len == 0
         n_valid = jnp.maximum(jnp.sum(utt_valid), 1)
         att = self.att_loss(att_out, att_label, utt_valid)
         labels, label_len = ctc_labels_from_padded(ctc_label, self.ignore_id)
-        log_probs = jax.nn.log_softmax(ctc_out, axis=-1)
-        ll = ctc_forward_logprob(log_probs, hs_len, labels, label_len,
-                                 blank=self.blank_id)
+        ll = ctc_forward_from_logits(ctc_out, hs_len, labels, label_len,
+                                     blank=self.blank_id)
         ctc = -jnp.sum(jnp.where(utt_valid, ll, 0.0)) / n_valid
         main = (1.0 - self.rate) * att + self.rate * ctc
         return main, att, ctc

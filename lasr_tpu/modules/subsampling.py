@@ -17,6 +17,33 @@ from flax import linen as nn
 from lasr_tpu.modules.embedding import PositionalEncoding
 
 
+class _FreqChanDense(nn.Module):
+    """The post-conv projection, taking (B, T', F', C) directly.
+
+    Parameter tree/shape/init are identical to the ``nn.Dense`` applied to
+    the reference's ``transpose(1,2).flatten`` input (subsampling.py:45-47:
+    torch flattens channel-major, so kernel rows are ordered (c, f)), but
+    the (F', C) contraction happens inside one dot_general — the 3x bigger
+    activation is never transposed/flattened in HBM, only the small kernel
+    is reshaped (on TPU this removes ~2.5 ms/step of relayout copies).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h):
+        B, Tp, Fp, C = h.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (C * Fp, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        h, kernel, bias = nn.dtypes.promote_dtype(h, kernel, bias,
+                                                  dtype=self.dtype)
+        out = jnp.einsum("btfc,cfo->bto", h, kernel.reshape(C, Fp,
+                                                            self.features))
+        return out + bias
+
+
 def conv_out_T(T: int, kernel: int, stride: int) -> int:
     """Static output length of a VALID conv along time."""
     return (T - kernel) // stride + 1
@@ -77,9 +104,7 @@ class Conv2dSubsampling(nn.Module):
             h = nn.relu(h)
             new_len = subsampled_len(new_len, T, kernel, stride, solo=solo_len)
             T = conv_out_T(T, kernel, stride)
-        B, Tp, Fp, C = h.shape
-        h = h.transpose(0, 1, 3, 2).reshape(B, Tp, C * Fp)
-        h = nn.Dense(self.odim, dtype=self.dtype)(h)
+        h = _FreqChanDense(self.odim, dtype=self.dtype, name="Dense_0")(h)
         pos_enc = self.pos_enc
         if pos_enc is None:
             pos_enc = PositionalEncoding(self.odim, self.dropout_rate,

@@ -44,7 +44,30 @@ def ctc_forward_logprob(log_probs: jnp.ndarray, input_len: jnp.ndarray,
       label_len: (B,) valid label counts.
     Returns (B,) log-likelihoods (<= 0).
     """
-    B, T, V = log_probs.shape
+    return _ctc_forward(log_probs, None, input_len, labels, label_len, blank)
+
+
+@partial(jax.jit, static_argnames=("blank",))
+def ctc_forward_from_logits(logits: jnp.ndarray, input_len: jnp.ndarray,
+                            labels: jnp.ndarray, label_len: jnp.ndarray,
+                            blank: int = 0) -> jnp.ndarray:
+    """Same as ``ctc_forward_logprob`` but from raw (possibly bf16) logits.
+
+    log-softmax is folded into the lattice: the DP only ever needs the S =
+    2L+1 per-state emissions, so the normalizer is a (B, T) f32 logsumexp
+    reduction and the full (B, T, V) log-prob tensor is never materialized
+    (under a bf16 policy the old path wrote it to HBM in f32 — ~250 MB for
+    the baseline recipe batch — purely to select S<<V entries from it).
+    """
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)  # (B, T)
+    return _ctc_forward(logits, lse, input_len, labels, label_len, blank)
+
+
+def _ctc_forward(scores, lse, input_len, labels, label_len, blank):
+    """Core lattice recursion; emissions are ``select(scores) - lse``
+    (``lse=None`` means scores are already normalized log-probs)."""
+    B, T, V = scores.shape
+    log_probs = scores  # emissions are selected below; name kept for clarity
     L = labels.shape[1]
     S = 2 * L + 1
 
@@ -61,20 +84,22 @@ def ctc_forward_logprob(log_probs: jnp.ndarray, input_len: jnp.ndarray,
     ext_m2 = jnp.pad(ext, ((0, 0), (2, 0)), constant_values=blank)[:, :S]
     can_skip = is_lbl[None, :] & (ext != ext_m2) & (s_idx[None, :] >= 2)
 
-    lp0 = log_probs[:, 0, :]
-    alpha0 = jnp.full((B, S), _NEG_INF)
-    alpha0 = alpha0.at[:, 0].set(jnp.take_along_axis(lp0, ext[:, :1], axis=1)[:, 0])
-    has_lbl = label_len > 0
-    a1 = jnp.take_along_axis(lp0, ext[:, 1:2], axis=1)[:, 0]
-    alpha0 = alpha0.at[:, 1].set(jnp.where(has_lbl, a1, _NEG_INF))
-    alpha0 = jnp.where(state_ok, alpha0, _NEG_INF)
-
     # hoist the vocab lookup out of the scan as a one-hot contraction:
     # gathers are slow on TPU, but selecting S lattice emissions from V
     # classes is a (B,T,V)x(B,S,V) matmul the MXU eats for free
     ext_onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)  # (B, S, V)
     emit_all = jnp.einsum("btv,bsv->bts", log_probs, ext_onehot,
                           precision=jax.lax.Precision.HIGHEST)
+    emit_all = emit_all.astype(jnp.float32)
+    if lse is not None:
+        emit_all = emit_all - lse[:, :, None]
+    lp0 = emit_all[:, 0, :]                         # (B, S) emissions at t=0
+    alpha0 = jnp.full((B, S), _NEG_INF)
+    alpha0 = alpha0.at[:, 0].set(lp0[:, 0])
+    has_lbl = label_len > 0
+    alpha0 = alpha0.at[:, 1].set(jnp.where(has_lbl, lp0[:, 1], _NEG_INF))
+    alpha0 = jnp.where(state_ok, alpha0, _NEG_INF)
+
     emit_t = jnp.moveaxis(emit_all, 1, 0)  # (T, B, S)
 
     def step(alpha, inputs):

@@ -375,3 +375,49 @@ def test_online_beam_matches_reference_tctc():
         got = out.tokens[b, 0, :n].tolist()
         assert got == want, (b, got, want)
         assert out.scores[b, 0] == pytest.approx(ref[0]["score"], abs=3e-3)
+
+
+def test_streaming_recognizer_beam_partials_match_online_beam():
+    """With a beam_decoder attached, finalize() must equal the batch online
+    joint beam search over the full utterance, and mid-stream beam partials
+    must be produced."""
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.decode.online import StreamingRecognizer
+    from lasr_tpu.data.frontend import DeviceFrontend
+
+    model = E2E_Transformer_CTC_Online(
+        idim=80, odim=11,
+        encoder_attention_dim=16, encoder_attention_heads=2,
+        encoder_left_chunk=16, encoder_center_chunk=16,
+        encoder_right_chunk=16,
+        encoder_linear_units=32, encoder_num_blocks=1,
+        decoder_attention_dim=16, decoder_self_attention_heads=2,
+        decoder_src_attention_heads=2, decoder_linear_units=32,
+        decoder_num_block=1, encoder_dropout_rate=0.0,
+        decoder_dropout_rate=0.0, ctc_dropout=0.0,
+        decoder_src_attention_sigmoid_noise=0.0)
+    rng = np.random.default_rng(3)
+    n = 24000
+    wav = (0.2 * np.sin(2 * np.pi * 330 * np.arange(n) / 16000)
+           + 0.02 * rng.standard_normal(n)).astype(np.float32)
+
+    fe = DeviceFrontend(["fbank:80"])
+    feats, feat_len = fe(jnp.asarray(wav[None]), jnp.asarray([n], jnp.int32))
+    vars_ = model.init(jax.random.PRNGKey(0), feats, feat_len,
+                       jnp.ones((1, 3), jnp.int32))
+
+    dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5,
+                            ctc_weight=0.4, online=True)
+    want = dec(feats, feat_len).best_ids(0)
+
+    rec = StreamingRecognizer(model, vars_, beam_decoder=dec,
+                              beam_interval=1, beam_bucket=16)
+    partials = []
+    for lo in range(0, n, 5000):
+        rec.accept_waveform(wav[lo: lo + 5000])
+        partials.append(rec.partial_result()[0])
+    tokens, _ = rec.finalize()
+    assert tokens == want, (tokens, want)
+    # at least one mid-stream beam partial was produced (beam_interval=1)
+    assert rec._beam_tokens is not None
+    assert all(isinstance(p, list) for p in partials)
