@@ -27,13 +27,37 @@ import logging
 import random
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, List, Sequence
+import zlib
+from math import ceil, gcd
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from lasr_tpu.data import reader, resample
 
 SAMPLE_RATE = 16000
+
+# sox speed-perturbation factors and their exact rational resample ratios
+# (reference datatrans.py:29-40); lengths change by den/num... see
+# resample.resample_ratio: n_out = ceil(n * num/den) after gcd reduction
+SPEED_RATES = (1.0, 1.1, 0.9)
+_SPEED_NUM_DEN = {0.9: (10, 9), 1.1: (10, 11), 1.0: (1, 1)}
+
+
+def _resample_out_len(n: int, num: int, den: int) -> int:
+    """Exact output length of resample.resample_{kaiser,ratio}."""
+    if num == den:
+        return n
+    g = gcd(num, den)
+    return ceil(n * (num // g) / (den // g))
+
+
+def _perturb_ratio(seed: int, utt_id: str) -> float:
+    """Deterministic per-(seed, utterance) speed factor: batch shapes must
+    be computable by every host WITHOUT reading audio (multi-host SPMD
+    shape agreement), and a resumed run must redraw the same factors."""
+    h = zlib.crc32(f"{seed}:{utt_id}".encode())
+    return SPEED_RATES[h % len(SPEED_RATES)]
 
 
 def round_up(n: int, multiple: int) -> int:
@@ -106,8 +130,16 @@ class AudioDataSet:
     def check_dataset(self) -> None:
         logging.info("Checking data (%d utts)", len(self.train_set))
         for item in self.train_set:
-            item["wav_len"] = (reader.get_audio_duration(item["wav"])
-                               if item["wav"] != "None" else 0.0)
+            if item["wav"] != "None":
+                frames, rate = reader.get_audio_frames(item["wav"])
+                item["wav_len"] = frames / rate
+                # exact 16 kHz sample count after read-time resampling —
+                # batch shapes must be predictable from metadata alone
+                item["n_samples"] = _resample_out_len(frames, SAMPLE_RATE,
+                                                      rate)
+            else:
+                item["wav_len"] = 0.0
+                item["n_samples"] = 0
             if item["text"] != "None" and self.tokenizer is not None:
                 item["token"], ids = self.tokenizer.encode(
                     item["text"], add_sos_eos=False)
@@ -150,19 +182,55 @@ class AudioDataSet:
             out.append(np.asarray(wav, dtype=np.float32))
         return out
 
-    def merge_batch(self, items: Sequence[Dict]) -> Dict:
-        """Read + host-transform waveforms and pad to bucketed shapes."""
+    def expected_samples(self, item: Dict, perturb_seed: int = 0) -> int:
+        """Exact decoded length (16 kHz samples, incl. soxspeed) from
+        metadata — no audio read.  Used for cross-host shape agreement and
+        is asserted against the real decode in ``merge_batch``."""
+        n = item.get("n_samples", 0)
+        if "soxspeed" in self.audio_trans:
+            num, den = _SPEED_NUM_DEN[_perturb_ratio(perturb_seed,
+                                                     item["id"])]
+            n = _resample_out_len(n, num, den)
+        return n
+
+    def batch_shape(self, group: Sequence[int], perturb_seed: int = 0
+                    ) -> Tuple[int, int, int]:
+        """Padded (B, S, L) of ``merge_batch`` over these row indices."""
+        items = [self.train_set[i] for i in group]
+        S = round_up(max(self.expected_samples(it, perturb_seed)
+                         for it in items), self.sample_bucket)
+        L = round_up(max(it["token_len"] for it in items) or 1,
+                     self.token_bucket)
+        B = round_up(len(items), self.batch_pad_multiple)
+        return B, S, L
+
+    def merge_batch(self, items: Sequence[Dict], perturb_seed: int = 0,
+                    pad_to: Optional[Tuple[int, int, int]] = None) -> Dict:
+        """Read + host-transform waveforms and pad to bucketed shapes.
+
+        ``pad_to``: optional (B, S, L) floor — under multi-host SPMD every
+        host must run an identically-shaped jitted step, so each host pads
+        to the max predicted shape across the hosts' concurrent batches.
+        """
         waves = self._read_waves(items)
         if "soxspeed" in self.audio_trans:
             # speed perturbation (reference datatrans.py:29-40 via sox);
             # resampling the wave by 1/ratio is the same time-stretch
-            waves = [self._speed_perturb(w) for w in waves]
+            waves = [self._speed_perturb(
+                w, _perturb_ratio(perturb_seed, it["id"]))
+                for w, it in zip(waves, items)]
         wave_lens = [len(w) for w in waves]
 
         S = round_up(max(wave_lens), self.sample_bucket)
         L = round_up(max(it["token_len"] for it in items) or 1,
                      self.token_bucket)
         B = round_up(len(items), self.batch_pad_multiple)
+        if pad_to is not None:
+            if pad_to[1] < S or pad_to[0] < B or pad_to[2] < L:
+                raise RuntimeError(
+                    f"batch shape prediction too small: predicted {pad_to}, "
+                    f"actual {(B, S, L)} — metadata/decoder disagree")
+            B, S, L = pad_to
 
         wav_array = np.full((B, S), float(self.pad_audio), dtype=np.float32)
         for i, w in enumerate(waves):
@@ -188,15 +256,14 @@ class AudioDataSet:
         }
 
     @staticmethod
-    def _speed_perturb(wav: np.ndarray, rates=(1.0, 1.1, 0.9)) -> np.ndarray:
+    def _speed_perturb(wav: np.ndarray, ratio: float) -> np.ndarray:
         """Speed perturbation by windowed-sinc resampling at a fixed output
         rate (the sox `speed` effect the reference applies,
-        datatrans.py:29-40): rate r stretches time by 1/r."""
-        ratio = float(np.random.choice(rates))
+        datatrans.py:29-40): rate r stretches time by 1/r.  The factor is
+        drawn deterministically per (seed, utterance) by the caller."""
         if ratio == 1.0:
             return wav
-        num, den = {0.9: (10, 9), 1.1: (10, 11)}.get(
-            ratio, (round(1000 / ratio), 1000))
+        num, den = _SPEED_NUM_DEN.get(ratio, (round(1000 / ratio), 1000))
         return resample.resample_ratio(wav, num, den).astype(np.float32)
 
     def batch_indices(self, shuffle: bool = False, seed: int = 0
@@ -229,27 +296,45 @@ class AudioDataSet:
         if process_count > 1 and order and len(order) % process_count:
             pad = process_count - len(order) % process_count
             order = order + [order[i % len(order)] for i in range(pad)]
+        # SPMD shape agreement: at global step s every host enters the same
+        # jitted program, so the P concurrent batches order[s*P .. s*P+P-1]
+        # must share one padded shape.  Every host sees the full order and
+        # the shape is a pure function of metadata (expected_samples), so
+        # the common shape is computed WITHOUT communication.
+        pad_shapes = None
+        if process_count > 1:
+            pad_shapes = []
+            for g in range(0, len(order), process_count):
+                shapes = [self.batch_shape(grp, perturb_seed=seed)
+                          for grp in order[g: g + process_count]]
+                pad_shapes.append(tuple(np.max(shapes, axis=0).tolist()))
         order = order[process_index::process_count]
         if skip:
             order = order[skip:]
+            if pad_shapes is not None:
+                pad_shapes = pad_shapes[skip:]
         if not order:
             return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
         stop = object()
 
         def worker(sub_order, out_q):
-            for group in sub_order:
+            for pos, group in sub_order:
                 items = [self.train_set[i] for i in group]
-                out_q.put(self.merge_batch(items))
+                out_q.put(self.merge_batch(
+                    items, perturb_seed=seed,
+                    pad_to=pad_shapes[pos] if pad_shapes else None))
             out_q.put(stop)
 
         n_workers = max(1, min(num_workers, len(order)))
+        indexed = list(enumerate(order))
         qs = [queue_mod.Queue(maxsize=max(1, prefetch // n_workers))
               for _ in range(n_workers)]
         threads = []
         for w in range(n_workers):
             t = threading.Thread(
-                target=worker, args=(order[w::n_workers], qs[w]), daemon=True)
+                target=worker, args=(indexed[w::n_workers], qs[w]),
+                daemon=True)
             t.start()
             threads.append(t)
         # round-robin drain preserves global batch order

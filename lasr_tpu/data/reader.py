@@ -137,6 +137,17 @@ def get_audio_duration(path: str) -> float:
         return _parse_wav_header(f).duration
 
 
+def get_audio_frames(path: str) -> Tuple[int, int]:
+    """Header-only (num_frames, sample_rate) probe (wav/flac)."""
+    if _is_flac(path):
+        from lasr_tpu.data.flac import flac_info
+        fi = flac_info(path)
+        return int(fi.total_samples), int(fi.sample_rate)
+    with open(path, "rb") as f:
+        fmt = _parse_wav_header(f)
+        return int(fmt.num_frames), int(fmt.sample_rate)
+
+
 def get_audio_samplerate(path: str) -> int:
     if _is_flac(path):
         from lasr_tpu.data.flac import flac_info

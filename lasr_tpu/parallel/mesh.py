@@ -39,6 +39,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_batch_leaf(v: np.ndarray, sh: NamedSharding):
+    """Host batch array → mesh-sharded jax.Array.
+
+    Single-process: a plain device_put.  Multi-process: each host holds a
+    DIFFERENT local batch (scp order is sharded round-robin by host), so
+    the global batch is assembled with make_array_from_process_local_data —
+    host h's rows land on host h's devices and the global leading dim is
+    the concatenation over hosts (every host's local shape must match,
+    which dataset.batches() guarantees via cross-host shape agreement)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(v))
+    return jax.device_put(v, sh)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put array leaves of a host batch with batch-dim sharding.
 
@@ -50,7 +64,7 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1:
-            out[k] = jax.device_put(v, sh)
+            out[k] = put_batch_leaf(v, sh)
         elif isinstance(v, jax.Array) and v.ndim >= 1:
             out[k] = v if v.sharding.is_equivalent_to(sh, v.ndim) \
                 else jax.device_put(v, sh)

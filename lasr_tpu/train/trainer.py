@@ -95,6 +95,8 @@ class Trainer:
     def _tb_writer(self):
         """TensorBoard writer (reference `logger=True`, train_lighting.py:211);
         lazily created, optional dependency."""
+        if jax.process_index() != 0:
+            return None
         if self._tb is None and self.exp_dir:
             try:
                 from flax.metrics import tensorboard
@@ -348,6 +350,8 @@ class Trainer:
             return None
 
     def save_hparams(self, configs: Dict) -> None:
+        if jax.process_index() != 0:
+            return
         os.makedirs(self.exp_dir, exist_ok=True)
         with open(os.path.join(self.exp_dir, "hparams.yaml"), "w") as f:
             yaml.safe_dump(configs, f, sort_keys=False, allow_unicode=True)
@@ -391,7 +395,7 @@ class Trainer:
                 logging.info("auto-resumed from step %d (epoch %d, "
                              "batch %d)", latest, start_epoch, start_skip)
         metrics_path = os.path.join(self.exp_dir, "metrics.jsonl") \
-            if self.exp_dir else None
+            if self.exp_dir and jax.process_index() == 0 else None
         if metrics_path:
             os.makedirs(self.exp_dir, exist_ok=True)
         proc_idx = jax.process_index()
@@ -446,13 +450,25 @@ class Trainer:
 
     def validate(self, state: TrainState, valid_dataset,
                  num_workers: int = 2) -> Dict[str, float]:
+        """Validation over the epoch.
+
+        Multi-process: every process iterates its own scp shard but all
+        enter the SAME global jitted step per batch group (shapes agreed by
+        the dataset; arrays assembled with make_array_from_process_local
+        _data), so the loss metrics come back already global (replicated).
+        Only the host-side greedy-CER proxy — computed on each host's local
+        rows — needs a cross-host reduce.
+        """
         from lasr_tpu.models.losses import ctc_greedy_cer_from_pred
+        proc_idx, proc_cnt = jax.process_index(), jax.process_count()
         totals: Dict[str, float] = {}
         n_batches = 0
-        for batch in valid_dataset.batches(num_workers=num_workers):
+        for batch in valid_dataset.batches(num_workers=num_workers,
+                                           process_index=proc_idx,
+                                           process_count=proc_cnt):
             metrics, aux = self.valid_step(state, batch)
             metrics = jax.device_get(metrics)
-            aux = jax.device_get(aux)
+            aux = {k: _local_rows(v) for k, v in aux.items()}
             n = batch["n_utts"]
             cer = ctc_greedy_cer_from_pred(
                 np.asarray(aux["ctc_pred"][:n]),
@@ -464,8 +480,11 @@ class Trainer:
                 totals[k] = totals.get(k, 0.0) + float(v)
             totals["ctc_cer"] = totals.get("ctc_cer", 0.0) + cer
             n_batches += 1
-        if jax.process_count() > 1:
-            totals, n_batches = _allreduce_host_metrics(totals, n_batches)
+        if proc_cnt > 1:
+            # loss metrics are already global; average the per-host CER
+            cer_tot, _ = _allreduce_host_metrics(
+                {"ctc_cer": totals.get("ctc_cer", 0.0)}, n_batches)
+            totals["ctc_cer"] = cer_tot["ctc_cer"] / proc_cnt
         return {k: v / max(n_batches, 1) for k, v in totals.items()}
 
     def _flush_metrics(self, pending, epoch, metrics_path, t0):
@@ -492,6 +511,25 @@ class Trainer:
                     tb.scalar(k, v, step)
 
 
+def _local_rows(arr) -> np.ndarray:
+    """This process's rows of a (possibly cross-process) batch-sharded
+    array, as numpy — device_get would fail on non-addressable arrays."""
+    if not isinstance(arr, jax.Array):
+        return np.asarray(arr)
+    if arr.is_fully_addressable:
+        return np.asarray(jax.device_get(arr))
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    blocks, seen = [], set()
+    for s in shards:
+        start = s.index[0].start or 0
+        if start in seen:        # replicated over a second mesh axis
+            continue
+        seen.add(start)
+        blocks.append(np.asarray(s.data))
+    return np.concatenate(blocks, axis=0)
+
+
 def _device_prefetch(batch_iter, depth: int = 2, sharding=None):
     """Stage host batches onto the device ``depth`` steps ahead so the
     upload overlaps the previous step's compute (the reference gets the
@@ -502,12 +540,16 @@ def _device_prefetch(batch_iter, depth: int = 2, sharding=None):
     runs: a bare device_put would commit leaves to device 0 and silently
     defeat the data-parallel batch split downstream."""
     import collections
+    from lasr_tpu.parallel.mesh import put_batch_leaf
     q = collections.deque()
 
     def put(b):
-        return {k: (jax.device_put(v, sharding)
-                    if isinstance(v, np.ndarray) and v.ndim >= 1 else v)
-                for k, v in b.items()}
+        def one(v):
+            if not (isinstance(v, np.ndarray) and v.ndim >= 1):
+                return v
+            return put_batch_leaf(v, sharding) if sharding is not None \
+                else jax.device_put(v)
+        return {k: one(v) for k, v in b.items()}
 
     for b in batch_iter:
         q.append(put(b))
