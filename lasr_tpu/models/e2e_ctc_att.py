@@ -24,14 +24,32 @@ from lasr_tpu.utils.masks import target_mask
 
 
 class CTCHead(nn.Module):
-    """Dropout → Linear CTC projection (e2e_transformer.py:39-42)."""
+    """Dropout → Linear CTC projection (e2e_transformer.py:39-42).
+
+    ``domain_dim`` widens the projection input by a per-utterance domain
+    tag (reference e2e_conformer.py:52 widens the Linear the same way; its
+    forward never concatenates the tag, so the torch path with
+    domain_dim > 0 only exists for checkpoint-shape compatibility — here
+    the tag is actually plumbed: pass ``domain`` (B, domain_dim) and it is
+    broadcast over time and concatenated; omitted, zeros are used so
+    widened checkpoints still load and decode)."""
 
     odim: int
     dropout: float = 0.1
+    domain_dim: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hs, deterministic: bool = True):
+    def __call__(self, hs, deterministic: bool = True, domain=None):
+        if self.domain_dim:
+            B, T = hs.shape[:2]
+            if domain is None:
+                tag = jnp.zeros((B, T, self.domain_dim), hs.dtype)
+            else:
+                tag = jnp.broadcast_to(
+                    domain[:, None, :].astype(hs.dtype),
+                    (B, T, self.domain_dim))
+            hs = jnp.concatenate([hs, tag], axis=-1)
         h = nn.Dropout(self.dropout)(hs, deterministic=deterministic)
         return nn.Dense(self.odim, dtype=self.dtype)(h)
 
@@ -221,4 +239,6 @@ class E2E_Conformer_CTC(E2EBase):
             self_attention_dropout_rate=self.decoder_self_attention_dropout_rate,
             src_attention_dropout_rate=self.decoder_src_attention_dropout_rate,
             dtype=self.dtype)
-        self.ctc = CTCHead(self.odim, self.ctc_dropout, dtype=self.dtype)
+        self.ctc = CTCHead(self.odim, self.ctc_dropout,
+                           domain_dim=self.domain_dim,
+                           dtype=self.dtype)

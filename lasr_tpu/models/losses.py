@@ -83,12 +83,23 @@ class E2E_Loss:
 
     def __init__(self, size: int, padding_idx: int = -1, smoothing: float = 0.1,
                  rate: float = 0.5, ctc_type: str = "builtin",
-                 ignore_id: int = -1, blank_id: int = 0):
+                 ignore_id: int = -1, blank_id: int = 0,
+                 log_ctc_cer: bool = True):
         del ctc_type  # single first-party implementation covers both backends
         self.att_loss = LabelSmoothingLoss(size, padding_idx, smoothing, False)
         self.rate = rate
         self.ignore_id = ignore_id
         self.blank_id = blank_id
+        # per-step greedy-CTC CER, fully in-graph (reference e2e_loss.py:
+        # 38-46 logs it every step; round-1 only had it per validation).
+        # The vectorized Levenshtein scan costs ~11 ms/step at recipe
+        # shapes (latency-bound), so when the trainer provides a step and
+        # ctc_cer_interval > 1, it runs under lax.cond only on the steps
+        # whose metrics are actually flushed (the trainer aligns the
+        # interval to log_interval); other steps report -1.  Validation
+        # (no "step" in the dict) always computes it.
+        self.log_ctc_cer = log_ctc_cer
+        self.ctc_cer_interval = None  # trainer fills from log_interval
 
     def __call__(self, att_out, ctc_out, att_label, ctc_label, hs_len):
         # losses always reduce in f32, even under a bf16 compute policy;
@@ -112,15 +123,80 @@ class E2E_Loss:
             att_label=input_dict["att_label"],
             ctc_label=input_dict["ctc_label"],
             hs_len=input_dict["hs_len"])
-        return {
+        out = {
             "loss_main": main,
             "att_loss": att,
             "ctc_loss": ctc,
             "att_corr": att_accuracy(input_dict["att_out"],
                                      input_dict["att_label"], self.ignore_id),
         }
+        if self.log_ctc_cer:
+            def compute(_):
+                return ctc_greedy_cer_device(
+                    input_dict["ctc_out"], input_dict["ctc_label"],
+                    input_dict["hs_len"], self.blank_id, self.ignore_id)
+            step = input_dict.get("step")
+            interval = self.ctc_cer_interval or 1
+            if step is not None and interval > 1:
+                out["ctc_cer"] = jax.lax.cond(
+                    (step + 1) % interval == 0, compute,
+                    lambda _: jnp.float32(-1.0), None)
+            else:
+                out["ctc_cer"] = compute(None)
+        return out
 
     valid_forward = train_forward
+
+
+def ctc_greedy_cer_device(ctc_out, ctc_label, hs_len, blank_id: int = 0,
+                          ignore_id: int = -1):
+    """In-graph greedy-CTC CER (reference data_utils.py:38-70, logged every
+    training step by e2e_loss.py:38-46).
+
+    The reference syncs the (B, T, V) posteriors to the CPU each step; here
+    the whole computation — greedy collapse and a vectorized Levenshtein
+    over frames — stays on device as part of the jitted step, so per-step
+    CER observability costs no host round-trip.  The insertion recurrence
+    of the edit-distance row update is resolved with the prefix-min trick
+    ``newD[j] = j + cummin_{i<=j}(E[i] - i)``, making each frame's update a
+    pure vector op; frames that emit nothing (blank / repeat / padding)
+    leave the DP row unchanged.
+
+    Returns sum(edit errors) / sum(ref lens) over rows with a non-empty
+    reference (0 when none).
+    """
+    B, T, _ = ctc_out.shape
+    pred = jnp.argmax(ctc_out, axis=-1).astype(jnp.int32)        # (B, T)
+    prev = jnp.concatenate([jnp.full((B, 1), -12345, jnp.int32),
+                            pred[:, :-1]], axis=1)
+    t_idx = jnp.arange(T)[None, :]
+    emit = ((t_idx < hs_len[:, None]) & (pred != blank_id)
+            & (pred != prev))                                     # (B, T)
+
+    valid = (ctc_label != blank_id) & (ctc_label != ignore_id)
+    L = ctc_label.shape[1]
+    order = jnp.argsort(jnp.where(valid, 0, 1), axis=1, stable=True)
+    ref = jnp.take_along_axis(ctc_label, order, axis=1).astype(jnp.int32)
+    ref_len = jnp.sum(valid, axis=1).astype(jnp.int32)            # (B,)
+    ref = jnp.where(jnp.arange(L)[None, :] < ref_len[:, None], ref, -7)
+
+    cols = jnp.arange(L + 1, dtype=jnp.int32)
+    D0 = jnp.broadcast_to(cols[None, :], (B, L + 1)).astype(jnp.int32)
+
+    def step(D, inputs):
+        c, e = inputs                                             # (B,), (B,)
+        sub = D[:, :-1] + (c[:, None] != ref).astype(jnp.int32)
+        E = jnp.concatenate(
+            [D[:, :1] + 1, jnp.minimum(D[:, 1:] + 1, sub)], axis=1)
+        newD = cols[None, :] + jax.lax.cummin(E - cols[None, :], axis=1)
+        return jnp.where(e[:, None], newD, D), None
+
+    D, _ = jax.lax.scan(step, D0, (pred.T, emit.T), unroll=8)
+    dist = jnp.take_along_axis(D, ref_len[:, None], axis=1)[:, 0]
+    has = ref_len > 0
+    errs = jnp.sum(jnp.where(has, dist, 0))
+    total = jnp.sum(jnp.where(has, ref_len, 0))
+    return errs.astype(jnp.float32) / jnp.maximum(total, 1).astype(jnp.float32)
 
 
 def ctc_greedy_cer(ctc_out: np.ndarray, ctc_label: np.ndarray,

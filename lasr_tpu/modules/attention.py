@@ -59,37 +59,25 @@ class MultiHeadedAttention(nn.Module):
         return self._split(self.linear_k(key)), self._split(self.linear_v(value))
 
     def _softmax_attend(self, scores, v, mask, deterministic):
-        """scores: (B, T1, H, T2); v: (B, T2, H, dk); mask is a boolean
-        (B, T1|1, T2) or (B, 1|H, T1|1, T2) tensor.
-
-        The q-major score layout (head axis inside) is a TPU layout choice:
-        produced this way, the bd/ac einsums, softmax, and the AV/backward
-        contractions agree on memory layout and XLA stops inserting
-        (B, H, T, T)-sized relayout copies (~40% faster than the h-major
-        form in isolation).  The sown attention map is transposed back to
-        the reference's (B, H, T1, T2) so the `calculate_all_attentions`
-        parity hook sees the reference layout (attention.py:84-88)."""
+        """scores: (B, H, T1, T2); v: (B, T2, H, dk); mask broadcastable to
+        (B, 1|H, T1|1, T2) boolean."""
         if mask is not None:
-            if mask.ndim == 2:
-                mask = mask[None]                    # (T1|1, T2) → batch 1
-            if mask.ndim == 3:
-                mask = mask[:, :, None, :]           # (B, T1|1, 1, T2)
-            else:
-                mask = jnp.swapaxes(mask, 1, 2)      # (B,H,T1,T2)→(B,T1,H,T2)
+            while mask.ndim < scores.ndim:
+                mask = mask[:, None] if mask.ndim == 3 else mask[None]
             scores = jnp.where(mask, scores, _mask_min(scores.dtype))
             attn = jax.nn.softmax(scores, axis=-1)
             attn = jnp.where(mask, attn, 0.0)
         else:
             attn = jax.nn.softmax(scores, axis=-1)
-        self.sow("intermediates", "attn", jnp.swapaxes(attn, 1, 2))
+        self.sow("intermediates", "attn", attn)
         p_attn = self.attn_dropout(attn, deterministic=deterministic)
-        x = jnp.einsum("bqhk,bkhd->bqhd", p_attn, v)
+        x = jnp.einsum("bhqk,bkhd->bqhd", p_attn, v)
         B, T1 = x.shape[:2]
         return self.linear_out(x.reshape(B, T1, self.n_feat))
 
     def attend(self, q, k, v, mask=None, deterministic: bool = True):
         """q: (B, T1, H, dk); k/v: (B, T2, H, dk)."""
-        scores = jnp.einsum("bqhd,bkhd->bqhk", q, k) / math.sqrt(self.d_k)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
         return self._softmax_attend(scores, v, mask, deterministic)
 
     def __call__(self, query, key, value, mask=None, deterministic: bool = True):
@@ -128,20 +116,19 @@ class _PosLinear(nn.Module):
 def build_skewed_pos_table(pos_emb: jnp.ndarray) -> jnp.ndarray:
     """(1, 2T-1, M) relative PE table → (T, T, M) with out[i, j] =
     pos_emb[0, T-1-i+j] — the rel_shift index map materialized on the
-    BATCH-INDEPENDENT table (once per encoder forward instead of per layer
-    per batch, and with no gradient: the sinusoid table is constant).  See
+    BATCH-INDEPENDENT table (same pad/reshape skew as ``rel_shift``, but
+    once per encoder forward instead of per layer per batch, and with no
+    gradient: the sinusoid table is constant).  See
     ``RelPositionMultiHeadedAttention`` for how it is consumed.
-
-    Implemented as a static-index row gather: on TPU this is ~2x faster
-    than the pad/reshape/slice skew, which relayouts the (T, 2T, M) tensor
-    three times (A/B in tools/probe_relpos_variants.py).
     """
-    import numpy as np
     e = pos_emb[0]                                  # (P, M), P = 2T-1
     P, M = e.shape
     T = (P + 1) // 2
-    idx = (T - 1) - np.arange(T)[:, None] + np.arange(T)[None, :]
-    return jnp.take(e, jnp.asarray(idx), axis=0)    # (T, T, M)
+    x = jnp.broadcast_to(e[None], (T, P, M))
+    x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))        # (T, P+1, M)
+    x = x.reshape(P + 1, T, M)[1:]                  # (P, T, M)
+    x = x.reshape(T, P, M)
+    return x[:, :T]
 
 
 def rel_shift(x: jnp.ndarray) -> jnp.ndarray:
@@ -227,16 +214,15 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
         q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
-        # content score (matrix a+c) and position score (matrix b+d),
-        # q-major layout throughout (see _softmax_attend)
-        matrix_ac = jnp.einsum("bqhd,bkhd->bqhk", q_u, k)
+        # content score (matrix a+c) and position score (matrix b+d)
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
         T1, T2 = q.shape[1], k.shape[1]
         if (pos_table is not None and not self.zero_triu and T1 == T2
                 and pos_table.shape[0] == T1):
             kernel = self.linear_pos.get_kernel()       # (M, n_feat)
             kmat = kernel.reshape(kernel.shape[0], self.n_head, self.d_k)
-            z = jnp.einsum("bqhd,mhd->bqhm", q_v, kmat.astype(q_v.dtype))
-            matrix_bd = jnp.einsum("bqhm,qkm->bqhk", z,
+            z = jnp.einsum("bqhd,mhd->bhqm", q_v, kmat.astype(q_v.dtype))
+            matrix_bd = jnp.einsum("bhqm,qkm->bhqk", z,
                                    pos_table.astype(z.dtype))
             scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k)
             return self._softmax_attend(scores, v, mask, deterministic)
@@ -247,12 +233,12 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
             matrix_bd = jnp.einsum("bqhd,phd->bhqp", q_v, p[0])
         else:
             matrix_bd = jnp.einsum("bqhd,bphd->bhqp", q_v, p)
-        matrix_bd = jnp.swapaxes(rel_shift(matrix_bd), 1, 2)  # (B,T1,H,P')
+        matrix_bd = rel_shift(matrix_bd)
         scores = (matrix_ac + matrix_bd[..., : k.shape[1]]) / math.sqrt(self.d_k)
         if self.zero_triu:
-            tri = jnp.tril(jnp.ones((T1, scores.shape[-1]), dtype=bool),
-                           scores.shape[-1] - T1)
-            scores = jnp.where(tri[None, :, None, :], scores, 0.0)
+            T1, T2 = scores.shape[2], scores.shape[3]
+            tri = jnp.tril(jnp.ones((T1, T2), dtype=bool), T2 - T1)
+            scores = jnp.where(tri[None, None], scores, 0.0)
         return self._softmax_attend(scores, v, mask, deterministic)
 
 

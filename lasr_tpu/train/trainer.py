@@ -83,6 +83,9 @@ class Trainer:
         ignore = tokenizer.ID_VALUE_IGNORE if tokenizer else -1
         self._pack = partial(pack_s2s, sos=sos, eos=eos, ignore=ignore)
 
+        # expensive in-graph metrics (ctc_cer) only on flushed steps
+        if getattr(criterion, "ctc_cer_interval", 0) is None:
+            criterion.ctc_cer_interval = max(1, min(log_interval, 1000))
         self.rng = jax.random.PRNGKey(seed)
         self._has_bn = False
         self._jit_train = jax.jit(self._train_step, donate_argnums=0)
@@ -177,6 +180,7 @@ class Trainer:
             data = dict(out)
             data["att_label"] = att_label
             data["ctc_label"] = ctc_label
+            data["step"] = state.step
             metrics = self.criterion.train_forward(data)
             return metrics["loss_main"], (metrics, new_bs)
 
@@ -205,13 +209,7 @@ class Trainer:
         metrics = self.criterion.valid_forward(data)
         n = jnp.maximum(jnp.sum(wav_len > 0), 1)
         metrics["n_utts"] = n
-        # host-side greedy-CER inputs (reference's valid ctc_cer,
-        # e2e_loss.py:38-46 — computed per validation batch, not per step)
-        ctc_out = data.get("ctc_out")
-        aux = {"ctc_pred": jnp.argmax(ctc_out, axis=-1),
-               "hs_len": data["hs_len"],
-               "ctc_label": ctc_label}
-        return metrics, aux
+        return metrics
 
     def train_step(self, state: TrainState, batch: Dict):
         sb = shard_batch(self.mesh, batch)
@@ -455,36 +453,23 @@ class Trainer:
         Multi-process: every process iterates its own scp shard but all
         enter the SAME global jitted step per batch group (shapes agreed by
         the dataset; arrays assembled with make_array_from_process_local
-        _data), so the loss metrics come back already global (replicated).
-        Only the host-side greedy-CER proxy — computed on each host's local
-        rows — needs a cross-host reduce.
+        _data), so every metric — including the in-graph greedy-CER
+        (models/losses.py:ctc_greedy_cer_device) — comes back already
+        global (replicated); no cross-host reduce is needed.
         """
-        from lasr_tpu.models.losses import ctc_greedy_cer_from_pred
         proc_idx, proc_cnt = jax.process_index(), jax.process_count()
         totals: Dict[str, float] = {}
         n_batches = 0
         for batch in valid_dataset.batches(num_workers=num_workers,
                                            process_index=proc_idx,
                                            process_count=proc_cnt):
-            metrics, aux = self.valid_step(state, batch)
+            metrics = self.valid_step(state, batch)
             metrics = jax.device_get(metrics)
-            aux = {k: _local_rows(v) for k, v in aux.items()}
-            n = batch["n_utts"]
-            cer = ctc_greedy_cer_from_pred(
-                np.asarray(aux["ctc_pred"][:n]),
-                np.asarray(aux["ctc_label"][:n]),
-                np.asarray(aux["hs_len"][:n]))
             for k, v in metrics.items():
                 if k == "n_utts":
                     continue
                 totals[k] = totals.get(k, 0.0) + float(v)
-            totals["ctc_cer"] = totals.get("ctc_cer", 0.0) + cer
             n_batches += 1
-        if proc_cnt > 1:
-            # loss metrics are already global; average the per-host CER
-            cer_tot, _ = _allreduce_host_metrics(
-                {"ctc_cer": totals.get("ctc_cer", 0.0)}, n_batches)
-            totals["ctc_cer"] = cer_tot["ctc_cer"] / proc_cnt
         return {k: v / max(n_batches, 1) for k, v in totals.items()}
 
     def _flush_metrics(self, pending, epoch, metrics_path, t0):

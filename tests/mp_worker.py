@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--result", required=True)
     args = ap.parse_args()
 
+    from lasr_tpu.utils.env import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     jax.distributed.initialize(coordinator_address=args.coord,
                                num_processes=args.nprocs,

@@ -74,3 +74,28 @@ def test_peak_normalize():
     wav = jnp.asarray([[0.0, 0.5, -0.25, 0.0]])
     out = np.asarray(peak_normalize(wav))
     np.testing.assert_allclose(out[0], [0.0, 1.0, -0.5, 0.0], atol=1e-6)
+
+
+def test_fbank_matches_captured_torchaudio_golden():
+    """Runs only when tests/golden/torchaudio_fbank.npz exists (generated
+    by tests/make_torchaudio_golden.py on a torchaudio-equipped machine;
+    this image has no torchaudio and no egress — see BASELINE.md)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "torchaudio_fbank.npz")
+    if not os.path.exists(path):
+        pytest.skip("no captured torchaudio golden in this image")
+    data = np.load(path)
+    names = sorted(k[len("wav_"):] for k in data.files
+                   if k.startswith("wav_"))
+    assert names
+    for name in names:
+        wav = data[f"wav_{name}"]
+        want = data[f"fbank_{name}"]
+        feats, feat_len = log_mel_fbank(
+            jnp.asarray(wav)[None, :],
+            jnp.asarray([len(wav)], dtype=jnp.int32))
+        got = np.asarray(feats[0, : int(feat_len[0])])
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        err = np.max(np.abs(got - want)) if want.size else 0.0
+        assert err < 1e-3, f"{name}: max abs err {err}"

@@ -1,6 +1,7 @@
 """Model + loss tests: dict contract, shapes, label smoothing vs torch."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -103,7 +104,8 @@ def test_e2e_loss_dict_contract():
     }
     crit = E2E_Loss(size=V, padding_idx=-1, smoothing=0.1, rate=0.3)
     out = crit.train_forward(data)
-    assert set(out) == {"loss_main", "att_loss", "ctc_loss", "att_corr"}
+    assert set(out) == {"loss_main", "att_loss", "ctc_loss",
+                    "att_corr", "ctc_cer"}
     main = float(out["loss_main"])
     assert np.isfinite(main)
     np.testing.assert_allclose(
@@ -138,3 +140,28 @@ def test_decode_hooks():
     assert ctc.shape[:2] == hs.shape[:2]
     prob = model.apply(vars_, x, xlen, method=model.get_ctc_prob)
     np.testing.assert_allclose(np.asarray(prob), np.asarray(ctc), atol=1e-5)
+
+
+def test_ctc_greedy_cer_device_matches_host():
+    """The in-graph per-step CER (vectorized Levenshtein over frames) must
+    equal the host groupby+editdistance proxy on random posteriors."""
+    from lasr_tpu.models.losses import (ctc_greedy_cer,
+                                        ctc_greedy_cer_device)
+    rng = np.random.default_rng(7)
+    B, T, V, L = 5, 37, 12, 9
+    for trial in range(5):
+        ctc_out = rng.standard_normal((B, T, V)).astype(np.float32)
+        # peaky posteriors so collapses/repeats actually occur
+        peaks = rng.integers(0, V, (B, T))
+        for b in range(B):
+            ctc_out[b, np.arange(T), peaks[b]] += 3.0
+        hs_len = rng.integers(1, T + 1, (B,)).astype(np.int32)
+        label = rng.integers(1, V, (B, L)).astype(np.int32)
+        lens = rng.integers(0, L + 1, (B,))
+        for b in range(B):
+            label[b, lens[b]:] = -1
+        want = ctc_greedy_cer(ctc_out, label, hs_len)
+        got = float(ctc_greedy_cer_device(
+            jnp.asarray(ctc_out), jnp.asarray(label), jnp.asarray(hs_len)))
+        # host returns errs/total; device the same ratio
+        assert got == pytest.approx(want, abs=1e-6), (trial, got, want)

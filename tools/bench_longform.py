@@ -1,0 +1,106 @@
+"""Long-form decode RTF vs utterance length (VERDICT round-1 item 10).
+
+Decodes synthetic utterances of increasing duration with the baseline-
+recipe Conformer and the production joint beam search, comparing the
+sequential CTC-prefix scan against the O(log T) parallel scan
+(decode/beam.py parallel_scan) — the hybrid question: at what T does the
+parallel formulation win?
+
+Prints an RTF table; run on the real chip:
+    python tools/bench_longform.py [--durations 15,30,60,120]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# honor JAX_PLATFORMS=cpu even under the image's axon sitecustomize
+from lasr_tpu.utils.env import respect_jax_platforms_env
+respect_jax_platforms_env()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--durations", default="15,30,60,120")
+    ap.add_argument("--beam", type=int, default=10)
+    ap.add_argument("--ctc-beam", type=int, default=15)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model (CPU smoke)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from lasr_tpu.data.frontend import DeviceFrontend
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
+
+    odim = 5000 if not args.tiny else 40
+    kw = dict(idim=80, odim=odim,
+              encoder_attention_dim=320, encoder_attention_heads=8,
+              encoder_linear_units=2048, encoder_num_blocks=12,
+              decoder_attention_dim=320, decoder_attention_heads=8,
+              decoder_linear_units=2048, decoder_num_block=6,
+              encoder_pos_enc_layer_type="rel_pos",
+              encoder_selfattention_layer_type="rel_selfattn",
+              dtype=jnp.bfloat16)
+    if args.tiny:
+        kw.update(encoder_attention_dim=32, encoder_attention_heads=2,
+                  encoder_linear_units=64, encoder_num_blocks=2,
+                  decoder_attention_dim=32, decoder_attention_heads=2,
+                  decoder_linear_units=64, decoder_num_block=2,
+                  encoder_cnn_kernel=7, dtype=jnp.float32)
+    model = E2E_Conformer_CTC(**kw)
+    fe = DeviceFrontend(["norm", "fbank:80"])
+
+    rng = np.random.default_rng(0)
+    durations = [float(d) for d in args.durations.split(",")]
+    rows = []
+    variables = None
+    for secs in durations:
+        n = int(secs * 16000)
+        wav = (0.1 * rng.standard_normal((1, n))).astype(np.float32)
+        feats, flen = fe(jnp.asarray(wav), jnp.asarray([n], jnp.int32))
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), feats[:, :400],
+                                   jnp.asarray([400], jnp.int32),
+                                   jnp.ones((1, 3), jnp.int32))
+        for pscan in (False, True):
+            dec = CTCAttBeamDecoder(model, variables, beam=args.beam,
+                                    ctc_beam=args.ctc_beam, ctc_weight=0.5,
+                                    parallel_scan=pscan)
+            # maxlenratio keeps hypothesis length (and compile cost)
+            # realistic for long audio: ~12.5 tokens/s of speech
+            dec.maxlenratio = min(1.0, (14.0 * secs) /
+                                  (feats.shape[1] / 4 + 1))
+            t0 = time.time()
+            out = dec(np.asarray(feats), np.asarray(flen))
+            compile_s = time.time() - t0
+            t0 = time.time()
+            iters = 3
+            for _ in range(iters):
+                out = dec(np.asarray(feats), np.asarray(flen))
+            dt = (time.time() - t0) / iters
+            rows.append({"secs": secs, "parallel_scan": pscan,
+                         "decode_s": round(dt, 3),
+                         "rtf": round(dt / secs, 4),
+                         "compile_s": round(compile_s, 1),
+                         "n_tokens": int(out.lengths[0, 0])})
+            print(json.dumps(rows[-1]), flush=True)
+    print("\nRTF table (chip=%s):" % jax.devices()[0].platform)
+    print(f"{'secs':>6} {'seq RTF':>9} {'pscan RTF':>10}")
+    by = {}
+    for r in rows:
+        by.setdefault(r["secs"], {})[r["parallel_scan"]] = r["rtf"]
+    for secs, d in by.items():
+        print(f"{secs:6.0f} {d.get(False, float('nan')):9.4f} "
+              f"{d.get(True, float('nan')):10.4f}")
+
+
+if __name__ == "__main__":
+    main()

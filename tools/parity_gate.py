@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if "/root/reference" not in sys.path:
     sys.path.append("/root/reference")
 
+# honor JAX_PLATFORMS=cpu even under the image's axon sitecustomize
+from lasr_tpu.utils.env import respect_jax_platforms_env
+respect_jax_platforms_env()
+
 TINY = dict(idim=20, odim=40,
             encoder_attention_dim=32, encoder_attention_heads=2,
             encoder_linear_units=64, encoder_num_blocks=2,
@@ -140,10 +144,161 @@ def edit_distance(a, b):
     return int(d[lb])
 
 
+def train_flax_online(fm, utts, steps, lr=3e-3, seed=0):
+    """Brief Adam training of the flax ONLINE model on the synthetic corpus
+    (attention CE + first-party CTC), so online-decode agreement is tested
+    on peaked posteriors, not tie-breaking noise."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from lasr_tpu.ops.ctc import ctc_forward_from_logits
+
+    rng = np.random.default_rng(seed)
+    feats0, flen0 = pad_feats(utts[:2])
+    variables = fm.init(jax.random.PRNGKey(seed), jnp.asarray(feats0),
+                        jnp.asarray(flen0), jnp.full((2, 3), 5, jnp.int32))
+    params = variables["params"]
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    def make_batch(idx):
+        batch = [utts[i] for i in idx]
+        feats, flen = pad_feats(batch)
+        Lmax = max(len(t) for _, t in batch)
+        ys_in = np.full((len(batch), Lmax + 1), EOS, np.int64)
+        att_lab = np.full((len(batch), Lmax + 1), IGNORE, np.int64)
+        labels = np.zeros((len(batch), Lmax), np.int32)
+        llen = np.zeros(len(batch), np.int32)
+        for i, (_, t) in enumerate(batch):
+            ys_in[i, 0] = SOS
+            ys_in[i, 1: 1 + len(t)] = t
+            att_lab[i, : len(t)] = t
+            att_lab[i, len(t)] = EOS
+            labels[i, : len(t)] = t
+            llen[i] = len(t)
+        return (jnp.asarray(feats), jnp.asarray(flen, jnp.int32),
+                jnp.asarray(ys_in, jnp.int32), jnp.asarray(att_lab),
+                jnp.asarray(labels), jnp.asarray(llen))
+
+    @jax.jit
+    def step_fn(params, opt, feats, flen, ys_in, att_lab, labels, llen):
+        def loss_fn(p):
+            out = fm.apply({"params": p}, feats, flen, ys_in,
+                           deterministic=True)
+            att_out, ctc_out, hs_len = (out["att_out"], out["ctc_out"],
+                                        out["hs_len"])
+            V = att_out.shape[-1]
+            mask = att_lab != IGNORE
+            logp = jax.nn.log_softmax(att_out, -1)
+            onehot = jax.nn.one_hot(jnp.maximum(att_lab, 0), V)
+            ce = -jnp.sum(jnp.sum(logp * onehot, -1) * mask) \
+                / jnp.maximum(jnp.sum(mask), 1)
+            ll = ctc_forward_from_logits(ctc_out, hs_len, labels, llen)
+            ctc = -jnp.mean(ll / jnp.maximum(llen, 1))
+            return 0.7 * ce + 0.3 * ctc
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, new_opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), new_opt, loss
+
+    n = len(utts)
+    for s in range(steps):
+        idx = rng.choice(n, size=min(16, n), replace=False)
+        params, opt, loss = step_fn(params, opt, *make_batch(idx))
+        if s % 20 == 0:
+            print(f"  flax train step {s}: loss={float(loss):.3f}",
+                  flush=True)
+    return {"params": params}
+
+
+def run_online_gate(args):
+    """Online-decode agreement gate: the batched fixed-shape online search
+    (decode/beam.py online=True) vs the per-utterance replica driving the
+    ACTUAL reference TCTCPrefixScore (tests/ref_beam_online.py — the
+    truncation/end-detect/rescore semantics are the reference's own,
+    ctc_prefix_score.py:191-334, ctc_att_decoder.py:336-594)."""
+    import jax  # noqa: F401
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.models.e2e_online import E2E_Transformer_CTC_Online
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tests.ref_beam_online import ref_online_beam_search
+
+    kw = dict(idim=TINY["idim"], odim=TINY["odim"],
+              encoder_attention_dim=32, encoder_attention_heads=2,
+              encoder_left_chunk=8, encoder_center_chunk=8,
+              encoder_right_chunk=8,
+              encoder_linear_units=64, encoder_num_blocks=2,
+              decoder_attention_dim=32, decoder_self_attention_heads=2,
+              decoder_src_attention_heads=2, decoder_linear_units=64,
+              decoder_num_block=2, encoder_dropout_rate=0.0,
+              decoder_dropout_rate=0.0, ctc_dropout=0.0,
+              decoder_src_attention_sigmoid_noise=0.0)
+    fm = E2E_Transformer_CTC_Online(**kw)
+    utts = make_corpus(args.n, TINY["idim"], TINY["odim"], seed=args.seed)
+    print(f"training tiny flax online model on {args.n} synthetic utts "
+          f"({args.train_steps} steps)...", flush=True)
+    variables = train_flax_online(fm, utts, args.train_steps, seed=args.seed)
+
+    feats, flen = pad_feats(utts)
+    dec = CTCAttBeamDecoder(fm, variables, sos=SOS, eos=EOS, beam=args.beam,
+                            ctc_beam=args.ctc_beam, nbest=args.beam,
+                            ctc_weight=args.ctc_weight, online=True)
+    t0 = time.time()
+    out = dec(feats, flen)
+    t_ours = time.time() - t0
+
+    t0 = time.time()
+    agree = 0
+    errs = tot = 0
+    score_deltas = []
+    mismatches = []
+    import jax.numpy as jnp
+    for b in range(args.n):
+        ref = ref_online_beam_search(
+            fm, variables, jnp.asarray(feats[b: b + 1]),
+            jnp.asarray(flen[b: b + 1], jnp.int32),
+            beam=args.beam, ctc_beam=args.ctc_beam,
+            ctc_weight=args.ctc_weight)
+        if not ref:
+            continue
+        ref_best, ref_score = ref[0]["yseq"], float(ref[0]["score"])
+        our_best = out.tokens[b, 0, : int(out.lengths[b, 0])].tolist()
+        our_score = float(out.scores[b, 0])
+        if list(ref_best) == our_best:
+            agree += 1
+            score_deltas.append(abs(ref_score - our_score))
+        else:
+            mismatches.append((b, list(ref_best), our_best, ref_score,
+                               our_score))
+        r = list(ref_best)[1:-1]
+        errs += edit_distance(r, our_best[1:-1])
+        tot += len(r)
+    t_ref = time.time() - t0
+    report = {
+        "model": "transformer_online",
+        "n_utts": args.n,
+        "beam": args.beam, "ctc_beam": args.ctc_beam,
+        "ctc_weight": args.ctc_weight,
+        "one_best_agreement": agree / args.n,
+        "cross_wer": errs / max(tot, 1),
+        "max_score_delta_on_agreeing": (max(score_deltas)
+                                        if score_deltas else None),
+        "ref_decode_s": round(t_ref, 2),
+        "our_decode_s": round(t_ours, 2),
+    }
+    print(json.dumps(report, indent=2))
+    for b, rb, ob, rs, os_ in mismatches[:10]:
+        print(f"  mismatch utt {b}: ref {rb} ({rs:.4f})  ours {ob} ({os_:.4f})")
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["transformer", "conformer"],
                     default="transformer")
+    ap.add_argument("--online", action="store_true",
+                    help="online gate: batched online=True search vs the "
+                         "reference-TCTCPrefixScore replica")
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--train-steps", type=int, default=120)
     ap.add_argument("--beam", type=int, default=10)
@@ -152,6 +307,9 @@ def main():
     ap.add_argument("--penalty", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+
+    if args.online:
+        return run_online_gate(args)
 
     import torch
     import jax
