@@ -150,13 +150,18 @@ def test_resampled_fbank_within_gate():
 
 
 def test_speed_perturb_length():
-    from lasr_tpu.data.dataset import AudioDataSet
+    """Exact output lengths for the fixed speed factors, and the length
+    prediction (`expected_samples`) matches the real perturbed decode —
+    multi-host shape agreement depends on that exactness."""
+    from lasr_tpu.data.dataset import AudioDataSet, _perturb_ratio
     wav = _speechy(16000).astype(np.float32)
-    np.random.seed(0)
-    outs = {len(AudioDataSet._speed_perturb(wav, rates=(r,)))
-            for r in (0.9, 1.1)}
+    outs = {len(AudioDataSet._speed_perturb(wav, r)) for r in (0.9, 1.1)}
     assert outs == {int(np.ceil(16000 * 10 / 9)),
                     int(np.ceil(16000 * 10 / 11))}
+    # deterministic per (seed, utt): same draw on every host/process
+    assert _perturb_ratio(7, "utt1") == _perturb_ratio(7, "utt1")
+    draws = {_perturb_ratio(s, "utt1") for s in range(30)}
+    assert draws == {0.9, 1.0, 1.1}
 
 
 def test_librispeech_style_shard_ingestion(tmp_path):
