@@ -77,6 +77,7 @@ def main(argv=None):
     from lasr_tpu.decode.lm import build_lm
     lm, lm_weight = build_lm(asr_decode_config)
     bs_decoder = None
+    longform = None
     if method in ("ctc_att", "ctc_att_online"):
         decoder = CTCAttBeamDecoder(
             model, variables,
@@ -86,6 +87,13 @@ def main(argv=None):
             ctc_weight=asr_decode_config["ctc_weight"],
             nbest=nbest, lm=lm, lm_weight=lm_weight,
             online=method == "ctc_att_online")
+        # beyond-reference: hour-scale audio via blank-aligned segmentation
+        # (decode/longform.py); enable with e.g. longform_segment_frames:
+        # 768 in decode.yaml — utterances decode one at a time
+        seg = int(asr_decode_config.get("longform_segment_frames", 0))
+        if seg > 0 and method == "ctc_att":
+            from lasr_tpu.decode.longform import LongFormCTCAttDecoder
+            longform = LongFormCTCAttDecoder(decoder, segment_frames=seg)
     elif method == "ctc_bs":
         # pure-CTC prefix beam search, reference ctc_bs dispatch
         # (decode_lighting.py:136-159); host DP over the on-device posterior
@@ -112,7 +120,10 @@ def main(argv=None):
         feats, feat_len = frontend(jnp.asarray(batch["wav_array"]),
                                    jnp.asarray(batch["wav_len"]))
         hyps = None
-        if decoder is not None:
+        if longform is not None:
+            hyp_ids = [longform(feats[b: b + 1], feat_len[b: b + 1])[0]
+                       for b in range(len(chunk))]
+        elif decoder is not None:
             hyps = decoder(feats, feat_len)
             hyp_ids = [hyps.best_ids(b) for b in range(len(chunk))]
         else:

@@ -125,3 +125,121 @@ def test_ctc_prefix_parallel_scan_matches_sequential():
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(par[2]), np.asarray(seq[2]),
                                    atol=1e-4)
+
+
+def test_longform_segmented_decode_matches_full():
+    """Long-form mechanics: cut points land on the most blank-dominated
+    frames, and every segment's result equals a direct fixed-shape search
+    over the same encoder/CTC slice (bucket padding, dummy batch rows and
+    token extraction included) — batched-vs-solo independence of the
+    search itself is pinned separately by the bucketing tests."""
+    import optax
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.decode.longform import LongFormCTCAttDecoder, \
+        pick_cut_frames
+    from lasr_tpu.ops.ctc import ctc_forward_from_logits
+
+    model = E2E_Transformer_CTC(
+        idim=20, odim=12,
+        encoder_attention_dim=32, encoder_attention_heads=2,
+        encoder_linear_units=64, encoder_num_blocks=1,
+        decoder_attention_dim=32, decoder_attention_heads=2,
+        decoder_linear_units=64, decoder_num_block=1,
+        encoder_dropout_rate=0.0, decoder_dropout_rate=0.0,
+        ctc_dropout=0.0)
+    rng = np.random.default_rng(5)
+
+    def burst(tok):
+        b = np.zeros((24, 20), np.float32)
+        b[:, (3 * tok) % 20] = 2.0
+        return b + 0.2 * rng.standard_normal(b.shape).astype(np.float32)
+
+    def utt(tokens):
+        pieces = []
+        for t in tokens:
+            pieces += [burst(t), np.zeros((20, 20), np.float32)]
+        return np.concatenate(pieces, axis=0)
+
+    # brief training so posteriors are peaked and blanks mark silence
+    utts = []
+    for _ in range(24):
+        toks = rng.integers(6, 12, rng.integers(2, 6))
+        utts.append((utt(toks), toks.astype(np.int32)))
+    Tmax = max(x.shape[0] for x, _ in utts)
+    B = len(utts)
+    feats_tr = np.zeros((B, Tmax, 20), np.float32)
+    flen_tr = np.zeros(B, np.int32)
+    labels = np.zeros((B, 5), np.int32)
+    llen = np.zeros(B, np.int32)
+    ys_in = np.full((B, 6), 2, np.int32)
+    att_lab = np.full((B, 6), -1, np.int32)
+    for i, (x, t) in enumerate(utts):
+        feats_tr[i, : len(x)] = x
+        flen_tr[i] = len(x)
+        labels[i, : len(t)] = t
+        llen[i] = len(t)
+        ys_in[i, 0] = 1
+        ys_in[i, 1: 1 + len(t)] = t
+        att_lab[i, : len(t)] = t
+        att_lab[i, len(t)] = 2
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(feats_tr[:1]),
+                       jnp.asarray(flen_tr[:1]), jnp.asarray(ys_in[:1]))
+    params = vars_["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            out = model.apply({"params": p}, jnp.asarray(feats_tr),
+                              jnp.asarray(flen_tr), jnp.asarray(ys_in),
+                              deterministic=True)
+            logp = jax.nn.log_softmax(out["att_out"], -1)
+            mask = jnp.asarray(att_lab) != -1
+            oh = jax.nn.one_hot(jnp.maximum(jnp.asarray(att_lab), 0), 12)
+            ce = -jnp.sum(jnp.sum(logp * oh, -1) * mask) / jnp.sum(mask)
+            ll = ctc_forward_from_logits(out["ctc_out"], out["hs_len"],
+                                         jnp.asarray(labels),
+                                         jnp.asarray(llen))
+            return 0.5 * ce - 0.5 * jnp.mean(ll / jnp.maximum(llen, 1))
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, new_opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), new_opt, loss
+    for _ in range(120):
+        params, opt, loss = step(params, opt)
+    vars_ = {"params": params}
+
+    long_toks = [6, 9, 11, 8, 10]
+    feats = utt(long_toks)[None]
+    flen = np.asarray([feats.shape[1]], np.int64)
+
+    dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5, ctc_weight=0.7)
+    S = 24
+    lf = LongFormCTCAttDecoder(dec, segment_frames=S, window_frames=6,
+                               segment_batch=2)
+    tokens, per_seg = lf(feats, flen)
+    assert len(per_seg) >= 2                 # it actually segmented
+    assert tokens == [t for seg in per_seg for t in seg]
+
+    # reproduce the segmentation + per-segment searches independently
+    hs, hs_len, lpz = dec._encode(jnp.asarray(feats), jnp.asarray(flen))
+    hs = np.asarray(hs[0])
+    lpz = np.asarray(lpz[0])
+    T = int(np.asarray(hs_len)[0])
+    cuts = pick_cut_frames(lpz[:T, dec.blank], T, S, 6)
+    # cuts sit in silence: blank is the greedy symbol at every cut frame
+    for c in cuts:
+        assert int(np.argmax(lpz[c])) == dec.blank, c
+    bounds = [0] + cuts + [T]
+    segs = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    assert len(segs) == len(per_seg)
+    V = lpz.shape[-1]
+    for i, (a, b) in enumerate(segs):
+        hp = np.zeros((1, S, hs.shape[-1]), hs.dtype)
+        lp = np.full((1, S, V), -np.log(V), np.float32)
+        hp[0, : b - a] = hs[a:b]
+        lp[0, : b - a] = lpz[a:b]
+        out = dec.search(jnp.asarray(hp), jnp.asarray([b - a], jnp.int32),
+                         jnp.asarray(lp), max_len=S)
+        want = np.asarray(out[0])[0, 0][1: int(np.asarray(out[1])[0, 0]) - 1]
+        assert per_seg[i] == want.tolist(), (i, per_seg[i], want)

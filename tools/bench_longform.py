@@ -70,36 +70,45 @@ def main():
             variables = model.init(jax.random.PRNGKey(0), feats[:, :400],
                                    jnp.asarray([400], jnp.int32),
                                    jnp.ones((1, 3), jnp.int32))
-        for pscan in (False, True):
+        for mode in ("seq", "pscan", "segmented"):
             dec = CTCAttBeamDecoder(model, variables, beam=args.beam,
                                     ctc_beam=args.ctc_beam, ctc_weight=0.5,
-                                    parallel_scan=pscan)
+                                    parallel_scan=mode == "pscan")
             # maxlenratio keeps hypothesis length (and compile cost)
             # realistic for long audio: ~12.5 tokens/s of speech
             dec.maxlenratio = min(1.0, (14.0 * secs) /
                                   (feats.shape[1] / 4 + 1))
+            if mode == "segmented":
+                from lasr_tpu.decode.longform import LongFormCTCAttDecoder
+                dec.maxlenratio = 0.0
+                run = LongFormCTCAttDecoder(dec, segment_frames=512)
+                n_tok = lambda o: len(o[0])
+            else:
+                run = dec
+                n_tok = lambda o: int(o.lengths[0, 0])
             t0 = time.time()
-            out = dec(np.asarray(feats), np.asarray(flen))
+            out = run(np.asarray(feats), np.asarray(flen))
             compile_s = time.time() - t0
             t0 = time.time()
             iters = 3
             for _ in range(iters):
-                out = dec(np.asarray(feats), np.asarray(flen))
+                out = run(np.asarray(feats), np.asarray(flen))
             dt = (time.time() - t0) / iters
-            rows.append({"secs": secs, "parallel_scan": pscan,
+            rows.append({"secs": secs, "mode": mode,
                          "decode_s": round(dt, 3),
                          "rtf": round(dt / secs, 4),
                          "compile_s": round(compile_s, 1),
-                         "n_tokens": int(out.lengths[0, 0])})
+                         "n_tokens": n_tok(out)})
             print(json.dumps(rows[-1]), flush=True)
     print("\nRTF table (chip=%s):" % jax.devices()[0].platform)
-    print(f"{'secs':>6} {'seq RTF':>9} {'pscan RTF':>10}")
+    print(f"{'secs':>6} {'seq RTF':>9} {'pscan RTF':>10} {'segmented':>10}")
     by = {}
     for r in rows:
-        by.setdefault(r["secs"], {})[r["parallel_scan"]] = r["rtf"]
+        by.setdefault(r["secs"], {})[r["mode"]] = r["rtf"]
+    nan = float("nan")
     for secs, d in by.items():
-        print(f"{secs:6.0f} {d.get(False, float('nan')):9.4f} "
-              f"{d.get(True, float('nan')):10.4f}")
+        print(f"{secs:6.0f} {d.get('seq', nan):9.4f} "
+              f"{d.get('pscan', nan):10.4f} {d.get('segmented', nan):10.4f}")
 
 
 if __name__ == "__main__":
