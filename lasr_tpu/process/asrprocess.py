@@ -55,6 +55,13 @@ class ASRProcess:
                 ctc_weight=cfg.get("ctc_weight", 0.5),
                 nbest=int(cfg.get("nbest", 1)), lm=lm, lm_weight=lm_weight,
                 online=self.method == "ctc_att_online")
+            seg = int(cfg.get("longform_segment_frames", 0))
+            self.longform = None
+            if seg > 0 and self.method == "ctc_att":
+                # hour-scale audio: blank-aligned segmented decoding
+                from lasr_tpu.decode.longform import LongFormCTCAttDecoder
+                self.longform = LongFormCTCAttDecoder(self.decoder,
+                                                      segment_frames=seg)
         elif self.method == "ctc_bs":
             from lasr_tpu.decode.ctc_bs import CTC_Decoder
             self.bs_decoder = CTC_Decoder(
@@ -69,7 +76,9 @@ class ASRProcess:
         wav, sr = reader.read_audio(wav_path)
         wav = reader.average_channels(wav)
         if sr != 16000:
-            wav = reader.resample_linear(wav, sr, 16000)
+            # same windowed-sinc resampler as the training data path
+            from lasr_tpu.data.resample import resample_kaiser
+            wav = resample_kaiser(wav, sr, 16000)
         return np.asarray(wav, dtype=np.float32), len(wav)
 
     def model_forward(self, wav: np.ndarray, n: int) -> List[int]:
@@ -77,6 +86,8 @@ class ASRProcess:
         import jax.numpy as jnp
         feats, feat_len = self.frontend(
             jnp.asarray(wav[None, :]), jnp.asarray([n], dtype=jnp.int32))
+        if getattr(self, "longform", None) is not None:
+            return self.longform(feats, feat_len)[0]
         if self.decoder is not None:
             hyps = self.decoder(feats, feat_len)
             return hyps.best_ids(0)  # sos/eos stripped

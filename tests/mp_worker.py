@@ -73,7 +73,8 @@ def main():
     ds = BatchAudioDataSet(
         wav_list=os.path.join(args.root, "wav.scp"),
         text_list=os.path.join(args.root, "text"),
-        tokenizer=tok, audio_trans=["norm", "fbank:80", "specaug"],
+        tokenizer=tok,
+        audio_trans=["soxspeed", "norm", "fbank:80", "specaug"],
         batch_type="size", batch_size=4, min_duration=0.0, text_freq=0.0,
         batch_pad_multiple=local)
     ds.load_check_data()

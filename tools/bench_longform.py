@@ -86,26 +86,31 @@ def main():
             else:
                 run = dec
                 n_tok = lambda o: int(o.lengths[0, 0])
-            t0 = time.time()
-            out = run(np.asarray(feats), np.asarray(flen))
-            compile_s = time.time() - t0
-            t0 = time.time()
-            iters = 3
-            for _ in range(iters):
+            try:
+                t0 = time.time()
                 out = run(np.asarray(feats), np.asarray(flen))
-            dt = (time.time() - t0) / iters
-            rows.append({"secs": secs, "mode": mode,
-                         "decode_s": round(dt, 3),
-                         "rtf": round(dt / secs, 4),
-                         "compile_s": round(compile_s, 1),
-                         "n_tokens": n_tok(out)})
+                compile_s = time.time() - t0
+                t0 = time.time()
+                iters = 3
+                for _ in range(iters):
+                    out = run(np.asarray(feats), np.asarray(flen))
+                dt = (time.time() - t0) / iters
+                rows.append({"secs": secs, "mode": mode,
+                             "decode_s": round(dt, 3),
+                             "rtf": round(dt / secs, 4),
+                             "compile_s": round(compile_s, 1),
+                             "n_tokens": n_tok(out)})
+            except Exception as e:  # HBM OOM at long T — part of the story
+                rows.append({"secs": secs, "mode": mode,
+                             "error": type(e).__name__,
+                             "detail": str(e).split("\n")[0][:120]})
             print(json.dumps(rows[-1]), flush=True)
     print("\nRTF table (chip=%s):" % jax.devices()[0].platform)
     print(f"{'secs':>6} {'seq RTF':>9} {'pscan RTF':>10} {'segmented':>10}")
+    nan = float("nan")
     by = {}
     for r in rows:
-        by.setdefault(r["secs"], {})[r["mode"]] = r["rtf"]
-    nan = float("nan")
+        by.setdefault(r["secs"], {})[r["mode"]] = r.get("rtf", nan)
     for secs, d in by.items():
         print(f"{secs:6.0f} {d.get('seq', nan):9.4f} "
               f"{d.get('pscan', nan):10.4f} {d.get('segmented', nan):10.4f}")

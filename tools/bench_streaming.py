@@ -63,9 +63,31 @@ def main():
         lats.append(time.perf_counter() - t0)
         return lats
 
+    def run_beam():
+        """Per-call latency with beam-quality partials: the online joint
+        search re-scores the accumulated encoder states every
+        beam_interval chunks (VERDICT round-1 item 6)."""
+        from lasr_tpu.decode.beam import CTCAttBeamDecoder
+        dec = CTCAttBeamDecoder(model, variables, beam=10, ctc_beam=15,
+                                ctc_weight=0.5, online=True)
+        rec = StreamingRecognizer(model, variables, beam_decoder=dec,
+                                  beam_interval=2, beam_bucket=128)
+        lats = []
+        for off in range(0, len(wav), chunk_samples):
+            t0 = time.perf_counter()
+            rec.accept_waveform(wav[off: off + chunk_samples])
+            lats.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rec.finalize()
+        fin = time.perf_counter() - t0
+        return lats, fin
+
     run(False)  # warmup/compile
     lats = np.asarray(sum((run(False) for _ in range(3)), []))
     rt = np.asarray(sum((run(True) for _ in range(2)), []))
+    run_beam()  # warmup the beam buckets
+    beam_lats, beam_fin = run_beam()
+    beam_lats = np.asarray(beam_lats)
     result = {
         "metric": "streaming_chunk_latency_ms",
         "value": round(float(np.median(rt) * 1e3), 2),
@@ -76,6 +98,9 @@ def main():
             "burst_median_ms": round(float(np.median(lats) * 1e3), 2),
             "burst_p95_ms": round(float(np.percentile(lats, 95) * 1e3), 2),
             "streaming_rtf": round(float(lats.sum() / (3 * secs)), 5),
+            "beam_partial_median_ms": round(float(np.median(beam_lats) * 1e3), 2),
+            "beam_partial_p95_ms": round(float(np.percentile(beam_lats, 95) * 1e3), 2),
+            "beam_finalize_ms": round(beam_fin * 1e3, 2),
             "chunk_audio_s": chunk_secs,
             "device": jax.devices()[0].device_kind,
         },
