@@ -29,6 +29,13 @@ def main(argv=None):
                         help="1 = keep an EMA shadow of the params")
     parser.add_argument("-acc_grads", default=1, type=int)
     parser.add_argument("-resume_ckpt", default=None, type=str)
+    parser.add_argument("-auto_resume", default=1, type=int,
+                        help="restore the newest checkpoint in exp_dir and "
+                             "continue at the exact epoch/batch (preemption "
+                             "recovery; 0 disables)")
+    parser.add_argument("-checkpoint_interval_steps", default=0, type=int,
+                        help="additionally checkpoint mid-epoch every N "
+                             "steps (0 = per-epoch only)")
     parser.add_argument("-num_workers", default=8, type=int)
     parser.add_argument("-seed", default=0, type=int)
     parser.add_argument("-log_interval", default=50, type=int)
@@ -124,7 +131,11 @@ def main(argv=None):
 
     state = trainer.fit(state, train_dataset, valid_dataset,
                         num_epochs=args.num_epochs,
-                        num_workers=args.num_workers)
+                        num_workers=args.num_workers,
+                        auto_resume=bool(args.auto_resume)
+                        and not args.resume_ckpt,
+                        checkpoint_interval_steps=
+                        args.checkpoint_interval_steps)
     logging.info("done at step %d", int(state.step))
     return 0
 

@@ -338,10 +338,15 @@ class ConformerEncoder(nn.Module):
             mask = mask & att_mask
         conv_zero = pad if solo_pad else None
         # pre-skew the shared rel-position table ONCE per forward (gradient-
-        # free): layers then contract against it with no per-layer shift
+        # free): layers then contract against it with no per-layer shift.
+        # The table is O(T^2 * M) memory (5.8 GB at T=3000!), so past a
+        # length cutoff the layers fall back to the per-layer rel_shift
+        # path, whose transients are O(B*H*T*2T) — that is what makes
+        # long-form (minutes-scale) encoder forwards fit in HBM.
         pos_table = None
         if rel and pos_emb is not None and not self.use_pallas_attention \
-                and pos_emb.shape[0] == 1 and pos_emb.shape[1] == 2 * T - 1:
+                and pos_emb.shape[0] == 1 and pos_emb.shape[1] == 2 * T - 1 \
+                and T <= 1024:
             from lasr_tpu.modules.attention import build_skewed_pos_table
             pos_table = build_skewed_pos_table(pos_emb)
         if self.scan_layers:

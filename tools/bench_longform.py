@@ -70,7 +70,12 @@ def main():
             variables = model.init(jax.random.PRNGKey(0), feats[:, :400],
                                    jnp.asarray([400], jnp.int32),
                                    jnp.ones((1, 3), jnp.int32))
-        for mode in ("seq", "pscan", "segmented"):
+        modes = ["seq", "pscan", "segmented"]
+        if secs > 60:
+            # the parallel-scan variant is off by default and its 3x3
+            # matrix intermediates crash/OOM the worker at minutes scale
+            modes.remove("pscan")
+        for mode in modes:
             dec = CTCAttBeamDecoder(model, variables, beam=args.beam,
                                     ctc_beam=args.ctc_beam, ctc_weight=0.5,
                                     parallel_scan=mode == "pscan")
