@@ -56,7 +56,7 @@ class StreamingRecognizer:
                  fbank: Optional[KaldiFbankConfig] = None,
                  peak_norm_fallback: float = 1.0,
                  beam_decoder=None, beam_interval: int = 4,
-                 beam_bucket: int = 64):
+                 beam_bucket: int = 64, beam_maxlen_ratio: float = 0.5):
         import jax
         import jax.numpy as jnp
         self._jnp = jnp
@@ -84,6 +84,10 @@ class StreamingRecognizer:
         self.beam_decoder = beam_decoder
         self.beam_interval = max(1, beam_interval)
         self.beam_bucket = beam_bucket
+        # serving cap on partial-hypothesis length: speech emits ~a token
+        # per 2-4 encoder frames at most, so searching to maxlen = T (the
+        # untrained/offline worst case) only pays for pathological inputs
+        self.beam_maxlen_ratio = beam_maxlen_ratio
         self._hs: List[np.ndarray] = []      # per-chunk (T_c, D) encoder out
         self._logits: List[np.ndarray] = []  # per-chunk (T_c, V) ctc logits
         self._beam_tokens: Optional[List[int]] = None
@@ -192,10 +196,10 @@ class StreamingRecognizer:
         self._n_harvested += 1
         if self.beam_decoder is not None and \
                 self._n_harvested % self.beam_interval == 0:
-            self._beam_tokens = self._run_beam()
+            self._beam_tokens = self._run_beam(final=False)
         return toks
 
-    def _run_beam(self) -> Optional[List[int]]:
+    def _run_beam(self, final: bool = True) -> Optional[List[int]]:
         """Online joint beam search over the encoder states seen so far.
 
         The accumulated per-chunk outputs equal the streamed encoder's
@@ -220,9 +224,13 @@ class StreamingRecognizer:
         lpz = np.full((1, Tb, V), -np.log(V), np.float32)
         lpz[0, :T] = np.asarray(
             jax.nn.log_softmax(self._jnp.asarray(logits), axis=-1))
+        # mid-stream partials cap the hypothesis length (serving cost
+        # control); finalize searches the full length — exact online
+        # decode semantics
+        max_len = Tb if final else max(8, int(Tb * self.beam_maxlen_ratio))
         out = self.beam_decoder.search(
             self._jnp.asarray(hs_pad), self._jnp.asarray([T], self._jnp.int32),
-            self._jnp.asarray(lpz), max_len=Tb)
+            self._jnp.asarray(lpz), max_len=max_len)
         tokens, lengths, _ = (np.asarray(x) for x in out)
         n = int(lengths[0, 0])
         if n <= 0:
