@@ -94,6 +94,10 @@ def main(argv=None):
         if seg > 0 and method == "ctc_att":
             from lasr_tpu.decode.longform import LongFormCTCAttDecoder
             longform = LongFormCTCAttDecoder(decoder, segment_frames=seg)
+            if nbest > 1:
+                logging.warning("longform decoding emits 1-best only; "
+                                "ignoring nbest=%d", nbest)
+                nbest = 1
     elif method == "ctc_bs":
         # pure-CTC prefix beam search, reference ctc_bs dispatch
         # (decode_lighting.py:136-159); host DP over the on-device posterior

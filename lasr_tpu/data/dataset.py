@@ -293,9 +293,13 @@ class AudioDataSet:
         where the killed one stopped).
         """
         order = self.batch_indices(shuffle=shuffle, seed=seed)
+        n_real = len(order)
         if process_count > 1 and order and len(order) % process_count:
             pad = process_count - len(order) % process_count
             order = order + [order[i % len(order)] for i in range(pad)]
+        # batches cycled in purely for SPMD step-count agreement are
+        # tagged so consumers (validation) can skip double-counting them
+        pad_flags = [i >= n_real for i in range(len(order))]
         # SPMD shape agreement: at global step s every host enters the same
         # jitted program, so the P concurrent batches order[s*P .. s*P+P-1]
         # must share one padded shape.  Every host sees the full order and
@@ -309,8 +313,10 @@ class AudioDataSet:
                           for grp in order[g: g + process_count]]
                 pad_shapes.append(tuple(np.max(shapes, axis=0).tolist()))
         order = order[process_index::process_count]
+        pad_flags = pad_flags[process_index::process_count]
         if skip:
             order = order[skip:]
+            pad_flags = pad_flags[skip:]
             if pad_shapes is not None:
                 pad_shapes = pad_shapes[skip:]
         if not order:
@@ -321,9 +327,11 @@ class AudioDataSet:
         def worker(sub_order, out_q):
             for pos, group in sub_order:
                 items = [self.train_set[i] for i in group]
-                out_q.put(self.merge_batch(
+                merged = self.merge_batch(
                     items, perturb_seed=seed,
-                    pad_to=pad_shapes[pos] if pad_shapes else None))
+                    pad_to=pad_shapes[pos] if pad_shapes else None)
+                merged["order_pad"] = pad_flags[pos]
+                out_q.put(merged)
             out_q.put(stop)
 
         n_workers = max(1, min(num_workers, len(order)))

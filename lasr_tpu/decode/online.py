@@ -89,8 +89,9 @@ class StreamingRecognizer:
         # untrained/offline worst case) only pays for pathological inputs
         self.beam_maxlen_ratio = beam_maxlen_ratio
         self._hs: List[np.ndarray] = []      # per-chunk (T_c, D) encoder out
-        self._logits: List[np.ndarray] = []  # per-chunk (T_c, V) ctc logits
+        self._lpz: List[np.ndarray] = []     # per-chunk (T_c, V) CTC log-probs
         self._beam_tokens: Optional[List[int]] = None
+        self._greedy_since_beam: List[int] = []
 
         self._samples = np.zeros(0, np.float32)
         self._sample_off = 0          # absolute index of _samples[0]
@@ -172,31 +173,40 @@ class StreamingRecognizer:
             self._chunk_idx += 1
             n_out = min(self.cur // 4, max(0, (len(avail) + 3) // 4))
             if self._pending is not None:
-                new_tokens += self._harvest(*self._pending)
+                new_tokens += self._harvest(*self._pending, draining=final)
             # logits/hs stay on device; fetched when the NEXT chunk (or
             # finalize) comes around, by which time they are done
             self._pending = (logits, hs, n_out)
         if final and self._pending is not None:
-            new_tokens += self._harvest(*self._pending)
+            new_tokens += self._harvest(*self._pending, draining=True)
             self._pending = None
         self._tokens.extend(new_tokens)
         return new_tokens
 
-    def _harvest(self, logits, hs, n_out: int) -> List[int]:
+    def _harvest(self, logits, hs, n_out: int,
+                 draining: bool = False) -> List[int]:
+        import jax.nn
         toks: List[int] = []
         ids = np.asarray(logits[0]).argmax(-1)
         if self.beam_decoder is not None and n_out > 0:
             self._hs.append(np.asarray(hs[0][:n_out]))
-            self._logits.append(np.asarray(logits[0][:n_out]))
+            # log-softmax once per chunk here, so rescores only concatenate
+            self._lpz.append(np.asarray(jax.nn.log_softmax(
+                logits[0][:n_out].astype(self._jnp.float32), axis=-1)))
         for t in ids[:n_out]:
             t = int(t)
             if t != self._prev_emit and t != self.blank:
                 toks.append(t)
             self._prev_emit = t
+        if self.beam_decoder is not None:
+            self._greedy_since_beam += toks
         self._n_harvested += 1
-        if self.beam_decoder is not None and \
+        # no mid-stream rescore while finalize drains — its own exact
+        # full-length rescore follows immediately
+        if self.beam_decoder is not None and not draining and \
                 self._n_harvested % self.beam_interval == 0:
             self._beam_tokens = self._run_beam(final=False)
+            self._greedy_since_beam = []
         return toks
 
     def _run_beam(self, final: bool = True) -> Optional[List[int]]:
@@ -217,13 +227,12 @@ class StreamingRecognizer:
         D = hs.shape[-1]
         hs_pad = np.zeros((1, Tb, D), hs.dtype)
         hs_pad[0, :T] = hs
-        logits = np.concatenate(self._logits, axis=0).astype(np.float32)
-        V = logits.shape[-1]
+        cat = np.concatenate(self._lpz, axis=0)
+        V = cat.shape[-1]
         # pad frames past hs_len carry a uniform distribution (what the
         # offline path's log_softmax over zero-padded logits produces)
         lpz = np.full((1, Tb, V), -np.log(V), np.float32)
-        lpz[0, :T] = np.asarray(
-            jax.nn.log_softmax(self._jnp.asarray(logits), axis=-1))
+        lpz[0, :T] = cat
         # mid-stream partials cap the hypothesis length (serving cost
         # control); finalize searches the full length — exact online
         # decode semantics
@@ -238,10 +247,13 @@ class StreamingRecognizer:
         return [int(t) for t in tokens[0, 0, :n][1:-1]]
 
     def partial_result(self) -> Tuple[List[int], str]:
-        """Best current partial: the last beam rescore if enabled (greedy
-        tokens committed since then appended), else the greedy stream."""
-        toks = list(self._beam_tokens) if self._beam_tokens is not None \
-            else list(self._tokens)
+        """Best current partial: the last beam rescore if enabled, with
+        greedy tokens committed since that rescore appended, else the
+        greedy stream."""
+        if self._beam_tokens is not None:
+            toks = list(self._beam_tokens) + list(self._greedy_since_beam)
+        else:
+            toks = list(self._tokens)
         text = ""
         if self.tokenizer is not None:
             _, text = self.tokenizer.decode(list(toks), no_special=True)

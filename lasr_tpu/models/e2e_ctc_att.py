@@ -57,13 +57,16 @@ class CTCHead(nn.Module):
 class E2EBase(nn.Module):
     """Shared forward/hook structure; subclasses define submodules in setup."""
 
-    def __call__(self, x, xlen, ys_in, ylen=None, deterministic: bool = True):
+    def __call__(self, x, xlen, ys_in, ylen=None, deterministic: bool = True,
+                 domain=None):
+        """``domain``: optional (B, domain_dim) tag concatenated into the
+        CTC head when the model was built with domain_dim > 0."""
         hs, hs_len = self.encoder(x, xlen, deterministic=deterministic)
         ys_mask = target_mask(ys_in, ignore_id=-1)
         att_out = self.decoder(ys_in, ys_mask, hs,
                                self._mem_mask(hs, hs_len),
                                deterministic=deterministic)
-        ctc_out = self.ctc(hs, deterministic=deterministic)
+        ctc_out = self.ctc(hs, deterministic=deterministic, domain=domain)
         return {"att_out": att_out, "ctc_out": ctc_out, "hs_len": hs_len}
 
     @staticmethod
@@ -90,12 +93,12 @@ class E2EBase(nn.Module):
             # semantics don't apply — fall through
         return self.encoder(x, xlen, deterministic=deterministic)
 
-    def ctc_logits(self, hs, deterministic: bool = True):
-        return self.ctc(hs, deterministic=deterministic)
+    def ctc_logits(self, hs, deterministic: bool = True, domain=None):
+        return self.ctc(hs, deterministic=deterministic, domain=domain)
 
-    def get_ctc_prob(self, x, xlen, deterministic: bool = True):
+    def get_ctc_prob(self, x, xlen, deterministic: bool = True, domain=None):
         hs, _ = self.encoder(x, xlen, deterministic=deterministic)
-        return self.ctc(hs, deterministic=deterministic)
+        return self.ctc(hs, deterministic=deterministic, domain=domain)
 
     def decode_full(self, ys, hs, hs_len, deterministic: bool = True):
         """Full (non-incremental) decoder pass over hypothesis prefixes."""

@@ -66,13 +66,14 @@ class MultiHeadedAttention(nn.Module):
                 mask = mask[:, None] if mask.ndim == 3 else mask[None]
             scores = jnp.where(mask, scores, _mask_min(scores.dtype))
             attn = jax.nn.softmax(scores, axis=-1)
-            # the reference's second masked_fill(0.0) (attention.py:84-88)
-            # is a numerical no-op here: exp(finfo.min - max) underflows to
-            # EXACTLY 0 whenever the row has >= 1 valid key (key-padding,
-            # chunk, and causal masks all guarantee that), so the select is
-            # dropped (XLA was already eliding its runtime cost; this keeps
-            # the graph honest).  Verified bit-equal by the torch parity
-            # and reference-decoder gate tests.
+            # the second masked_fill(0.0) (reference attention.py:84-88)
+            # matters ONLY for fully-masked rows: rows with >= 1 valid key
+            # already get exact zeros from the underflow of
+            # exp(finfo.min - max), but dummy batch-padding rows
+            # (hs_len == 0) are all-masked and would otherwise attend
+            # uniformly — their activations then leak into conformer
+            # BatchNorm batch statistics.  XLA elides the runtime cost.
+            attn = jnp.where(mask, attn, 0.0)
         else:
             attn = jax.nn.softmax(scores, axis=-1)
         self.sow("intermediates", "attn", attn)

@@ -416,7 +416,8 @@ class Trainer:
                 state, metrics = self.train_step(state, batch)
                 host_step += 1
                 batch_idx += 1
-                pending.append((state.step, metrics, batch["n_utts"]))
+                pending.append((state.step, metrics,
+                                batch["n_utts"], host_step))
                 if len(pending) >= self.log_interval:
                     self._flush_metrics(pending, epoch, metrics_path, t0)
                     pending = []
@@ -464,6 +465,10 @@ class Trainer:
                                            process_index=proc_idx,
                                            process_count=proc_cnt):
             metrics = self.valid_step(state, batch)
+            if batch.get("order_pad"):
+                # cycled in only so every host runs the same step count —
+                # scoring it again would double-count the head batches
+                continue
             metrics = jax.device_get(metrics)
             for k, v in metrics.items():
                 if k == "n_utts":
@@ -474,10 +479,23 @@ class Trainer:
 
     def _flush_metrics(self, pending, epoch, metrics_path, t0):
         # one host sync per flush, not per step
-        last_step, last_metrics, _ = pending[-1]
+        last_step, last_metrics, _, _ = pending[-1]
         host = jax.device_get(last_metrics)
         step = int(jax.device_get(last_step))
-        utts = sum(n for _, _, n in pending)
+        utts = sum(n for _, _, n, _ in pending)
+        # the in-graph ctc_cer is lax.cond-gated to host steps that are
+        # multiples of its interval (losses.py); a flush whose LAST entry
+        # was not a computed step (partial epoch-end flush, resume offset)
+        # reads the real value from the newest computed entry instead of
+        # reporting the -1 sentinel forever
+        interval = getattr(self.criterion, "ctc_cer_interval", None) or 1
+        if host.get("ctc_cer", 0.0) == -1.0 and interval > 1:
+            for _, m, _, hs in reversed(pending[:-1]):
+                if hs % interval == 0:
+                    host["ctc_cer"] = float(jax.device_get(m["ctc_cer"]))
+                    break
+            else:
+                host.pop("ctc_cer", None)
         line = {"epoch": epoch, "step": step,
                 "utts_cum": utts, "wall_s": round(time.time() - t0, 2),
                 **{k: float(v) for k, v in host.items()}}
@@ -494,25 +512,6 @@ class Trainer:
             for k, v in line.items():
                 if isinstance(v, (int, float)) and k not in ("epoch", "step"):
                     tb.scalar(k, v, step)
-
-
-def _local_rows(arr) -> np.ndarray:
-    """This process's rows of a (possibly cross-process) batch-sharded
-    array, as numpy — device_get would fail on non-addressable arrays."""
-    if not isinstance(arr, jax.Array):
-        return np.asarray(arr)
-    if arr.is_fully_addressable:
-        return np.asarray(jax.device_get(arr))
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: (s.index[0].start or 0))
-    blocks, seen = [], set()
-    for s in shards:
-        start = s.index[0].start or 0
-        if start in seen:        # replicated over a second mesh axis
-            continue
-        seen.add(start)
-        blocks.append(np.asarray(s.data))
-    return np.concatenate(blocks, axis=0)
 
 
 def _device_prefetch(batch_iter, depth: int = 2, sharding=None):
@@ -542,39 +541,6 @@ def _device_prefetch(batch_iter, depth: int = 2, sharding=None):
             yield q.popleft()
     while q:
         yield q.popleft()
-
-
-_KEY_GATHER_BYTES = 4096
-
-
-def _allreduce_host_metrics(totals: Dict[str, float], n_batches: int,
-                            gather_fn=None):
-    """Sum validation totals across hosts so every host reports the
-    GLOBAL validation metrics (each host only iterates its own scp shard;
-    the reference's distributed validation is reduced the same way by
-    lightning).
-
-    Tolerates hosts with an EMPTY validation shard: the global metric key
-    set is agreed first by all-gathering each host's JSON-encoded key list
-    (fixed-size byte buffer), then values are gathered in that canonical
-    order with missing keys contributing 0.  ``gather_fn(arr) -> (P, n)``
-    is injectable for testing; default is a cross-process all-gather."""
-    if gather_fn is None:
-        from jax.experimental import multihost_utils
-        gather_fn = multihost_utils.process_allgather
-    enc = json.dumps(sorted(totals)).encode()
-    if len(enc) > _KEY_GATHER_BYTES:
-        raise ValueError(f"metric key set too large ({len(enc)} bytes)")
-    keybuf = np.zeros((_KEY_GATHER_BYTES,), np.uint8)
-    keybuf[: len(enc)] = np.frombuffer(enc, np.uint8)
-    rows = np.asarray(gather_fn(keybuf))
-    keys = sorted({k for row in rows for k in json.loads(
-        row.astype(np.uint8).tobytes().rstrip(b"\x00").decode() or "[]")})
-    vec = np.asarray([totals.get(k, 0.0) for k in keys] + [float(n_batches)],
-                     np.float64)
-    summed = np.asarray(gather_fn(vec)).sum(axis=0)
-    return ({k: float(summed[i]) for i, k in enumerate(keys)},
-            float(summed[-1]))
 
 
 def _state_to_tree(state: TrainState) -> Dict:

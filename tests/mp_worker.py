@@ -17,23 +17,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class _KillAfter:
-    """Raise after N merged batches across epochs (simulated preemption)."""
-
-    def __init__(self, ds, n):
-        self.ds, self.n = ds, n
-        self.count = 0
-
-    def __getattr__(self, name):
-        return getattr(self.ds, name)
-
-    def batches(self, **kw):
-        for b in self.ds.batches(**kw):
-            if self.count == self.n:
-                raise RuntimeError("simulated preemption")
-            self.count += 1
-            yield b
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -100,7 +83,8 @@ def main():
                                   process_count=args.nprocs)))
     state = trainer.init_state(sample)
 
-    fit_ds = ds if args.kill_after < 0 else _KillAfter(ds, args.kill_after)
+    from tests.helpers import KillAfter
+    fit_ds = ds if args.kill_after < 0 else KillAfter(ds, args.kill_after)
     try:
         state = trainer.fit(
             state, fit_ds, valid_dataset=ds, num_epochs=args.epochs,
