@@ -4,8 +4,8 @@ The reference delegates FLAC to soundfile/libsndfile
 (``lasr/data/reader.py:15-29``); neither is in this image, and LibriSpeech
 — the en recipe's corpus — ships FLAC, so the framework carries its own
 decoder.  This module is the readable/portable implementation and the
-correctness oracle; the production path is the C++ port in
-``native/flacio.cc`` (thread-pooled, bound via ``data/native_loader.py``),
+correctness oracle; the production path is the C++ port that lives in
+``native/wavio.cc`` (thread-pooled, bound via ``data/native_loader.py``),
 which is tested bit-identical against this one.
 
 Scope: the full mandatory decode surface of the FLAC format —
