@@ -292,7 +292,12 @@ class CTCAttBeamDecoder:
 
     def _encode(self, feats, feat_len):
         if self.online:
+            # ref_tail: the reference's decode_feat_online consumes every
+            # frame of every solo chunk, tail conv margin included
+            # (ctc_att_decoder.py:336-347 uses no mask) — so the search
+            # must see the same (hs, hs_len) convention
             hs, hs_len = self.model.apply(self.variables, feats, feat_len,
+                                          ref_tail=True,
                                           method=self.model.encode_online)
         else:
             # solo_pad: the reference decodes utterances one at a time
@@ -392,10 +397,14 @@ class CTCAttBeamDecoder:
         def unflat(x):
             return x.reshape((B, K) + x.shape[1:])
 
+        # previous-beam-slot index of each hypothesis (for the online
+        # sibling-chained endpoint advance; see step_online_chained)
+        parent_prev = jnp.zeros((B, K), jnp.int32)
+
         state0 = (jnp.zeros((), jnp.int32), tokens, score, ctc_prev, r_state,
                   last_tok, alive, cache, ended_score, ended_len, ended_tok,
                   best_by_len, row_done, frontier, att_lm, ended_att_lm,
-                  ended_rescore, ended_need, lm_state)
+                  ended_rescore, ended_need, lm_state, parent_prev)
 
         def cond(state):
             return (state[0] < max_len) & ~jnp.all(state[12])
@@ -404,11 +413,26 @@ class CTCAttBeamDecoder:
             (i, tokens, score, ctc_prev, r_state, last_tok, alive, cache,
              ended_score, ended_len, ended_tok, best_by_len, row_done,
              frontier, att_lm, ended_att_lm, ended_rescore, ended_need,
-             lm_state) = state
+             lm_state, parent_prev) = state
 
-            logp, new_cache = self.model.apply(
-                self.variables, flat(last_tok), i, cache, mem_k, mem_v,
-                mem_mask, method=self.model.decoder_step)
+            if self.online:
+                # online mode steps the decoder with the reference's
+                # endpoint-truncated monotonic source attention
+                # (decode_feat_online → forward_one_step_online,
+                # ctc_att_decoder.py:400).  Endpoints are stored per beam
+                # SLOT (cache["ep"] is NOT parent-gathered) and chained
+                # across same-parent siblings in beam order — the
+                # reference shares one mutable endpoint list among a
+                # parent's children (ctc_att_decoder.py:446,
+                # attention.py:109-117), so expansion order matters.
+                logp, new_cache = self.model.apply(
+                    self.variables, flat(last_tok), i, cache, mem_k, mem_v,
+                    mem_mask, parent_prev, alive,
+                    method=self.model.decoder_step_ep)
+            else:
+                logp, new_cache = self.model.apply(
+                    self.variables, flat(last_tok), i, cache, mem_k, mem_v,
+                    mem_mask, method=self.model.decoder_step)
             att_logp = unflat(logp).astype(jnp.float32)      # (B,K,V)
 
             if self.lm is not None:
@@ -568,10 +592,17 @@ class CTCAttBeamDecoder:
             new_alive = survive & ~final_step
             new_score = jnp.where(new_alive, top_score, LOG_ZERO)
 
-            # reorder decoder cache leaves (KV, endpoints, ...) by parent
+            # reorder decoder cache leaves (KV prefixes) by parent; the
+            # online "ep" leaf stays per-SLOT — the next step's chain
+            # gathers it by parent itself (step_online_chained)
             flat_parent = (parent + jnp.arange(B)[:, None] * K).reshape(-1)
+            if self.online:
+                ep_slots = new_cache["ep"]
+                new_cache = {k: v for k, v in new_cache.items() if k != "ep"}
             new_cache = jax.tree.map(
                 lambda x: jnp.take(x, flat_parent, axis=1), new_cache)
+            if self.online:
+                new_cache["ep"] = ep_slots
             if self.lm is not None:
                 new_lm = jax.tree.map(
                     lambda x: jnp.take(x, flat_parent, axis=0), new_lm_state)
@@ -624,7 +655,7 @@ class CTCAttBeamDecoder:
                     sel_tok, new_alive, new_cache, ended_score, ended_len,
                     ended_tok, best_by_len, new_row_done, new_frontier,
                     new_att_lm, ended_att_lm, ended_rescore, ended_need,
-                    new_lm)
+                    new_lm, parent)
 
         final = jax.lax.while_loop(cond, step, state0)
         ended_score, ended_len, ended_tok = final[8], final[9], final[10]

@@ -216,10 +216,16 @@ class StreamingRecognizer:
         toks: List[int] = []
         ids = np.asarray(logits[0]).argmax(-1)
         if self.beam_decoder is not None and n_out > 0:
-            self._hs.append(np.asarray(hs[0][:n_out]))
+            # the beam search follows the reference decode_feat_online
+            # convention (every frame of every solo chunk counts — tail
+            # conv margin included, ctc_att_decoder.py:336-347), so the
+            # accumulated states keep all cur//4 frames per chunk; greedy
+            # emission below stays on the real-audio count n_out
+            n_ref = self.cur // 4
+            self._hs.append(np.asarray(hs[0][:n_ref]))
             # log-softmax once per chunk here, so rescores only concatenate
             self._lpz.append(np.asarray(jax.nn.log_softmax(
-                logits[0][:n_out].astype(self._jnp.float32), axis=-1)))
+                logits[0][:n_ref].astype(self._jnp.float32), axis=-1)))
         for t in ids[:n_out]:
             t = int(t)
             if t != self._prev_emit and t != self.blank:

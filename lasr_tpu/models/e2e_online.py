@@ -80,14 +80,27 @@ class E2E_Transformer_CTC_Online(E2EBase):
         self.ctc = CTCHead(self.odim, self.ctc_dropout, dtype=self.dtype)
 
     # the streaming encoder IS the forward path (encoder_forward_online)
-    def encode_online(self, x, xlen, deterministic: bool = True):
-        return self.encoder(x, xlen, deterministic=deterministic)
+    def encode_online(self, x, xlen, deterministic: bool = True,
+                      ref_tail: bool = False):
+        return self.encoder(x, xlen, deterministic=deterministic,
+                            ref_tail=ref_tail)
 
     def decoder_init_cache(self, batch: int, max_len: int):
         return self.decoder.init_cache(batch, max_len)
 
     def decoder_step_online(self, y_t, pos, cache, memory):
         return self.decoder.forward_one_step_online(y_t, pos, cache, memory)
+
+    def decoder_step_ep(self, y_t, pos, cache, mem_k, mem_v, mem_mask=None,
+                        parent=None, alive=None):
+        """Online beam-decode step: the reference decode_feat_online drives
+        forward_one_step_online (endpoint-truncated source attention,
+        ctc_att_decoder.py:400), not the offline monotonic step; endpoints
+        chain across same-parent siblings in beam order (see
+        StreamDecoderLayer.step_online_chained)."""
+        return self.decoder.forward_one_step_ep(y_t, pos, cache, mem_k,
+                                                mem_v, mem_mask, parent,
+                                                alive)
 
 
 class E2E_Transformer_CTC_Univ_Dynamic(nn.Module):
@@ -202,3 +215,9 @@ class E2E_Transformer_CTC_Univ_Dynamic(nn.Module):
 
     def decoder_step_online(self, y_t, pos, cache, memory):
         return self.decoder.forward_one_step_online(y_t, pos, cache, memory)
+
+    def decoder_step_ep(self, y_t, pos, cache, mem_k, mem_v, mem_mask=None,
+                        parent=None, alive=None):
+        return self.decoder.forward_one_step_ep(y_t, pos, cache, mem_k,
+                                                mem_v, mem_mask, parent,
+                                                alive)

@@ -322,7 +322,45 @@ class MTMultiHeadedAttention(MultiHeadedAttention):
         B, T1 = x.shape[:2]
         return self.linear_out(x.reshape(B, T1, self.n_feat))
 
-    def decode_attend(self, q, k, v, endpoint):
+    def decode_scores(self, q, k, mask=None):
+        """Per-head monotonic choose-scores for one decode query.
+
+        q: (B, 1, H, dk); k: (B, T2, H, dk); mask: optional (B, T2) key
+        validity.  Returns (B, H, T2) scores (masked keys at -inf)."""
+        scores = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
+                  + self.src_att_bias.astype(q.dtype))
+        s = scores[:, :, 0, :]
+        if mask is not None:
+            s = jnp.where(mask[:, None, :], s, _mask_min(s.dtype))
+        return s
+
+    def decode_context(self, s, v, endpoint):
+        """Monotonic context from precomputed scores and (already advanced)
+        endpoints: sigmoid-survival weights truncated past the endpoint
+        (online_transformer/attention.py:106-119).  s: (B, H, T2);
+        v: (B, T2, H, dk); endpoint: (B, H).  Returns (B, 1, n_feat)."""
+        T2 = s.shape[-1]
+        pos = jnp.arange(T2)
+        p = jax.nn.sigmoid(s)
+        attn = p * safe_exclusive_cumprod(1.0 - p, axis=-1)
+        attn = jnp.where(pos[None, None, :] <= endpoint[..., None], attn, 0.0)
+        x = jnp.einsum("bhk,bkhd->bhd", attn, v)
+        B = x.shape[0]
+        return self.linear_out(x.reshape(B, 1, self.n_feat))
+
+    @staticmethod
+    def advance_endpoint(s, endpoint):
+        """Reference endpoint advance (attention.py:112-116): the first
+        position > endpoint with score > 0, else unchanged.  s: (..., T2);
+        endpoint: (...,) broadcastable to s's leading dims."""
+        T2 = s.shape[-1]
+        pos = jnp.arange(T2)
+        beyond = pos > endpoint[..., None]
+        cand = beyond & (s > 0)
+        first = jnp.argmax(cand, axis=-1)
+        return jnp.where(jnp.any(cand, axis=-1), first, endpoint)
+
+    def decode_attend(self, q, k, v, endpoint, mask=None):
         """Single-step monotonic decode with per-head endpoint advance.
 
         q: (B, 1, H, dk); k/v: (B, T2, H, dk); endpoint: (B, H) int32 last
@@ -330,6 +368,9 @@ class MTMultiHeadedAttention(MultiHeadedAttention):
         per-head python scan (online_transformer/attention.py:92-123): the
         new endpoint is the first position > endpoint with score > 0 (or the
         old endpoint if none), and attention mass past it is truncated.
+        ``mask``: optional (B, T2) key validity — the reference decodes solo
+        (its memory has no batch-padding rows), so batched decode restricts
+        endpoint candidates and choose-probs to the row's own frames.
         Returns (context (B, 1, n_feat), new endpoint (B, H)).
         """
         scores = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.d_k)
@@ -337,6 +378,8 @@ class MTMultiHeadedAttention(MultiHeadedAttention):
         s = scores[:, :, 0, :]                                # (B, H, T2)
         T2 = s.shape[-1]
         pos = jnp.arange(T2)
+        if mask is not None:
+            s = jnp.where(mask[:, None, :], s, _mask_min(s.dtype))
         beyond = pos[None, None, :] > endpoint[..., None]
         cand = beyond & (s > 0)
         first = jnp.argmax(cand, axis=-1)                     # 0 if none

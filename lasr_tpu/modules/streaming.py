@@ -156,6 +156,16 @@ class ChunkEncoder(nn.Module):
         self.mem_len_sub = mem_len // self._sub
         self.cur_sub = self.cur_len // self._sub
         self.hop_sub = self.hop_len // self._sub
+        # the reference's chunks are exactly (cur+right) raw frames wide
+        # (chunk_iter slices chunk_len=left+cur+right with left=0,
+        # encoder.py:143-154), so each chunk contributes
+        # ((cur+right-1)//2-1)//2 subsampled attention keys.  We conv a
+        # (cur+right+6)-frame window (so chunk outputs tile the stream with
+        # no conv-tap gaps), which yields one extra trailing column; it is
+        # masked out of attention so the key set — and therefore every
+        # attended output — equals the reference's.
+        self.key_sub = ((self.cur_len + self.right_len - 1) // 2 - 1) // 2 \
+            if self._sub == 4 else self.cur_len + self.right_len
         self.layers = [
             StreamEncoderLayer(
                 self.attention_dim, self.attention_heads, self.linear_units,
@@ -215,16 +225,32 @@ class ChunkEncoder(nn.Module):
         start = jnp.asarray(chunk_idx * self.hop_len, jnp.int32)
         j = jnp.arange(chunk_sub)
         if n_valid is None:
-            key_valid = jnp.ones((B, chunk_sub), bool)
+            key_valid = jnp.broadcast_to((j < self.key_sub)[None, :],
+                                         (B, chunk_sub))
         else:
-            key_valid = (start + self._sub * j)[None, :] < \
-                jnp.asarray(n_valid)[:, None]
+            key_valid = ((start + self._sub * j)[None, :] <
+                         jnp.asarray(n_valid)[:, None]) & \
+                (j < self.key_sub)[None, :]
         new_mems, out = self.chunk_step(
             mems, (chunk_x, offset, valid_mem, key_valid), True)
         return out, new_mems
 
-    def __call__(self, x, x_len, deterministic: bool = True):
-        """x: (B, T, idim); returns (hs (B, n·cur_sub, D), hs_len)."""
+    def __call__(self, x, x_len, deterministic: bool = True,
+                 ref_tail: bool = False):
+        """x: (B, T, idim); returns (hs (B, n·cur_sub, D), hs_len).
+
+        ``ref_tail``: reproduce the reference decoder's length convention.
+        ``decode_feat_online`` consumes the encoder output with NO mask
+        (ctc_att_decoder.py:336-347): every frame of every chunk the solo
+        chunk iterator yields counts, including the tail frames of the last
+        chunk whose conv taps read the zero right-padding (their queries
+        attend over real keys, so they carry real — if low-information —
+        activations).  With ``ref_tail=True`` the outputs are left unzeroed
+        and hs_len is the per-row solo chunk count × cur_sub
+        (chunk_iter: i < x_len + hop - cur, encoder.py:143-154), so a
+        batched search over (hs, hs_len) equals the reference's solo
+        decode.  Default (False) keeps the production convention: only
+        frames backed by real audio are valid."""
         B, T, _ = x.shape
         cur, right, hop = self.cur_len, self.right_len, self.hop_len
         n_chunks = _chunk_grid(T, cur, right, hop)
@@ -242,9 +268,11 @@ class ChunkEncoder(nn.Module):
         chunk_sub = (chunk_raw - 1) // 2
         chunk_sub = (chunk_sub - 1) // 2
         j = jnp.arange(chunk_sub)
-        # chunk c's sub-frame j maps to raw frame c*hop + 4j
-        key_valid = (starts[:, None, None] + self._sub * j[None, None, :]
-                     < x_len[None, :, None])          # (n, B, chunk_sub)
+        # chunk c's sub-frame j maps to raw frame c*hop + 4j; columns past
+        # key_sub exist only as conv margin and are never attendable keys
+        key_valid = ((starts[:, None, None] + self._sub * j[None, None, :]
+                      < x_len[None, :, None])
+                     & (j < self.key_sub)[None, None, :])  # (n, B, chunk_sub)
 
         mems0 = tuple(
             jnp.zeros((B, self.mem_len_sub, self.attention_dim), self.dtype)
@@ -258,6 +286,12 @@ class ChunkEncoder(nn.Module):
         _, outs = scan(self, mems0, (chunks, offsets, valid_mem, key_valid))
         hs = jnp.moveaxis(outs, 0, 1).reshape(B, -1, self.attention_dim)
 
+        if ref_tail:
+            # solo chunk count: #{c >= 0 : c·hop < x_len + hop - cur}
+            n_solo = jnp.maximum(
+                (x_len + hop - cur - 1) // hop + 1, 0).astype(jnp.int32)
+            hs_len = jnp.minimum(n_solo, n_chunks) * self.cur_sub
+            return hs, hs_len
         g = jnp.arange(hs.shape[1])
         c = g // self.cur_sub
         jj = g % self.cur_sub
@@ -492,6 +526,76 @@ class StreamDecoderLayer(nn.Module):
             x = self.norm3(x)
         return x, self_k, self_v
 
+    def step_online_chained(self, x_t, pos, self_k, self_v, mem_k, mem_v,
+                            ep_slots, parent, alive, mem_mask=None):
+        """One cached online beam-decode step over PRE-PROJECTED memory K/V
+        with the reference's SIBLING-CHAINED endpoint semantics.
+
+        ``decode_feat_online`` hands every beam child the SAME ``att_prev``
+        object (ctc_att_decoder.py:446) and ``decode_attention`` advances
+        the cached endpoint list IN PLACE (online_transformer/
+        attention.py:109-117), so when the next step expands hypotheses in
+        beam order, each one both reads and mutates its parent's shared
+        per-layer endpoint state: later siblings start from the endpoints
+        already advanced by earlier siblings.  Exactness therefore needs a
+        beam-ordered chain, not an independent per-hypothesis advance.
+
+        ``x_t``: (B·K, 1, D) flat; ``ep_slots``: (B, K, H) endpoints stored
+        per PREVIOUS beam slot; ``parent``: (B, K) previous-slot index of
+        each current hypothesis; ``alive``: (B, K) — dead slots are
+        expanded vacuously and must not mutate the chain.  Returns
+        (x, self_k, self_v, ep_eff (B, K, H)) — ep_eff[k] is hypothesis
+        k's effective endpoints this step AND the per-slot state the next
+        step's chain starts from (the reference's fresh list copy,
+        decoder.py:133)."""
+        residual = x_t
+        x = self.norm1(x_t) if self.normalize_before else x_t
+        q = self.self_attn.project_q(x)
+        k_new, v_new = self.self_attn.project_kv(x, x)
+        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, pos, 1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, pos, 1)
+        prefix = (jnp.arange(self_k.shape[1]) <= pos)[None, None, :]
+        att = self.self_attn.attend(q, self_k, self_v, prefix)
+        x = residual + att
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        y = self.norm2(x) if self.normalize_before else x
+        q = self.src_attn.project_q(y)
+        s = self.src_attn.decode_scores(q, mem_k, mask=mem_mask)  # (B·K,H,T2)
+        B, K = parent.shape
+        sK = s.reshape(B, K, *s.shape[1:])                        # (B,K,H,T2)
+
+        def chain(ep_state, xs):
+            s_k, p_k, a_k = xs            # (B,H,T2), (B,), (B,)
+            cur = jnp.take_along_axis(
+                ep_state, p_k[:, None, None], axis=1)[:, 0]       # (B,H)
+            new = self.src_attn.advance_endpoint(s_k, cur)
+            new = jnp.where(a_k[:, None], new, cur)
+            slot = (jnp.arange(K)[None, :] == p_k[:, None])       # (B,K)
+            upd = slot[:, :, None] & a_k[:, None, None]
+            ep_state = jnp.where(upd, new[:, None, :], ep_state)
+            return ep_state, new
+
+        _, ep_eff = jax.lax.scan(
+            chain, ep_slots,
+            (jnp.moveaxis(sK, 1, 0), parent.T, alive.T))
+        ep_eff = jnp.moveaxis(ep_eff, 0, 1)                       # (B,K,H)
+
+        att = self.src_attn.decode_context(
+            s, mem_v, ep_eff.reshape(B * K, -1))
+        x = residual + att
+        if not self.normalize_before:
+            x = self.norm2(x)
+
+        residual = x
+        y = self.norm3(x) if self.normalize_before else x
+        x = residual + self.feed_forward(y, deterministic=True)
+        if not self.normalize_before:
+            x = self.norm3(x)
+        return x, self_k, self_v, ep_eff
+
     def step_online(self, x_t, pos, self_k, self_v, memory, endpoint):
         """One cached online decode step: self-attn over the KV prefix,
         monotonic source attention with per-head endpoint advance."""
@@ -634,6 +738,48 @@ class StreamDecoder(nn.Module):
             y = self.output_layer(y)
         return jax.nn.log_softmax(y, axis=-1), \
             {"k": jnp.stack(ks), "v": jnp.stack(vs), "ep": cache["ep"]}
+
+    def forward_one_step_ep(self, y_t, pos, cache, mem_k, mem_v,
+                            mem_mask=None, parent=None, alive=None):
+        """Beam-decode step with the reference ONLINE semantics
+        (forward_one_step_online, decoder.py:114-142): monotonic truncated
+        source attention over memory K/V pre-projected once per utterance
+        (``project_memory``), whose per-layer/head endpoints ride the
+        cache — stored per beam SLOT and chained across same-parent
+        siblings in beam order (see ``step_online_chained``; the
+        reference shares one mutable endpoint list per layer among a
+        parent's children).  ``mem_mask``: (B·K, 1, T) or (B·K, T) key
+        validity (the reference decodes solo); ``parent``/``alive``:
+        (B, K) previous-slot index and liveness of each hypothesis.
+        cache["ep"]: (layers, B·K, H) per-previous-slot endpoints — the
+        caller must NOT parent-reorder this leaf (chaining gathers by
+        ``parent`` itself)."""
+        import math as _math
+        if mem_mask is not None and mem_mask.ndim == 3:
+            mem_mask = mem_mask[:, 0, :]
+        B, K = parent.shape
+        h = self.embed_tok(y_t[:, None])
+        table = jnp.asarray(
+            sinusoid_table(cache["k"].shape[2], self.attention_dim),
+            dtype=self.dtype)
+        h = h * _math.sqrt(self.attention_dim) + \
+            jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)[None]
+        ks, vs, eps = [], [], []
+        for i, layer in enumerate(self.decoders):
+            ep_slots = cache["ep"][i].reshape(B, K, -1)
+            h, k, v, ep = layer.step_online_chained(
+                h, pos, cache["k"][i], cache["v"][i], mem_k[i], mem_v[i],
+                ep_slots, parent, alive, mem_mask)
+            ks.append(k)
+            vs.append(v)
+            eps.append(ep.reshape(B * K, -1))
+        if self.normalize_before:
+            h = self.after_norm(h)
+        y = h[:, 0]
+        if self.use_output_layer:
+            y = self.output_layer(y)
+        return jax.nn.log_softmax(y, axis=-1), \
+            {"k": jnp.stack(ks), "v": jnp.stack(vs), "ep": jnp.stack(eps)}
 
     def forward_one_step_online(self, y_t, pos, cache, memory):
         """y_t: (B,); pos: scalar; memory: (B, T, D) streamed encoder out.

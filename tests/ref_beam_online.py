@@ -51,7 +51,7 @@ def ref_online_beam_search(model, variables, feats, feat_len, *, sos=1,
     """Single-utterance reference online search. feats: (1, T_in, D)."""
     from lasr.utils.ctc_prefix_score import TCTCPrefixScore
 
-    hs, hs_len = model.apply(variables, feats, feat_len,
+    hs, hs_len = model.apply(variables, feats, feat_len, ref_tail=True,
                              method=model.encode_online)
     T = int(hs_len[0])
     hs = hs[:, :T]
@@ -60,14 +60,23 @@ def ref_online_beam_search(model, variables, feats, feat_len, *, sos=1,
                     method=model.ctc_logits).astype(jnp.float32), -1))[0]
     scorer = TCTCPrefixScore(lpz, blank, eos, np)
 
-    def att_logp(yseq):
-        ys = jnp.asarray([yseq])
-        mask = target_mask(ys, ignore_id=-1)
-        out = model.apply(variables, ys, mask, hs,
-                          jnp.ones((1, 1, T), bool),
-                          method=lambda m, *a: m.decoder(*a))
-        return np.asarray(
-            jax.nn.log_softmax(out[0, -1].astype(jnp.float32)))
+    def att_logp(hyp, i):
+        """One step of the reference's ONLINE one-step decoder
+        (forward_one_step_online: cached self-attn + endpoint-truncated
+        monotonic source attention, decoder.py:114-142) with the
+        reference's cache threading: every beam child shares its parent's
+        ``att_prev`` object (ctc_att_decoder.py:446) and the endpoint list
+        is mutated IN PLACE by decode_attention (attention.py:109-117), so
+        siblings expanded earlier in beam order advance the endpoints seen
+        by later siblings.  ``hyp["ep_box"]`` is the shared mutable holder
+        emulating that list."""
+        cache = dict(hyp["cache"])
+        cache["ep"] = hyp["ep_box"][0]
+        logp, new_cache = model.apply(
+            variables, jnp.asarray([hyp["yseq"][-1]], jnp.int32), i, cache,
+            hs, method=model.decoder_step_online)
+        hyp["ep_box"][0] = new_cache["ep"]
+        return np.asarray(logp[0].astype(jnp.float32)), new_cache
 
     maxlen = T
     V = lpz.shape[-1]
@@ -75,13 +84,16 @@ def ref_online_beam_search(model, variables, feats, feat_len, *, sos=1,
     C = V if ctc_weight == 1.0 else min(ctc_beam, V)
 
     r0, hist0 = scorer.initial_state()
+    cache0 = model.apply(variables, 1, maxlen + 2,
+                         method=model.decoder_init_cache)
     hyps = [{"score": 0.0, "yseq": [sos], "r": r0, "hist": hist0,
-             "psi": 0.0, "end": 0, "att_lm": 0.0}]
+             "psi": 0.0, "end": 0, "att_lm": 0.0,
+             "cache": cache0, "ep_box": [cache0["ep"]]}]
     ended = []
     for i in range(maxlen):
         kept = []
         for hyp in hyps:
-            logp = att_logp(hyp["yseq"])
+            logp, new_cache = att_logp(hyp, i)
             order = np.argsort(logp)[::-1][:C]
             psi, states, hists, ctc_end = scorer(
                 hyp["yseq"], order, hyp["r"], hyp["hist"])
@@ -89,13 +101,15 @@ def ref_online_beam_search(model, variables, feats, feat_len, *, sos=1,
                 + ctc_weight * (psi - hyp["psi"])
             att_lm_local = (1.0 - ctc_weight) * logp[order]
             top = np.argsort(local)[::-1][:beam]
+            shared_box = [new_cache["ep"]]
             for j in top:
                 kept.append({
                     "score": hyp["score"] + float(local[j]),
                     "yseq": hyp["yseq"] + [int(order[j])],
                     "r": states[j], "hist": hists,
                     "psi": float(psi[j]), "end": int(ctc_end),
-                    "att_lm": hyp["att_lm"] + float(att_lm_local[j])})
+                    "att_lm": hyp["att_lm"] + float(att_lm_local[j]),
+                    "cache": new_cache, "ep_box": shared_box})
         hyps = sorted(kept, key=lambda x: -x["score"])[:beam]
         if i == maxlen - 1:
             for h in hyps:

@@ -355,11 +355,18 @@ def test_online_beam_matches_reference_tctc():
         decoder_num_block=1, encoder_dropout_rate=0.0,
         decoder_dropout_rate=0.0, ctc_dropout=0.0,
         decoder_src_attention_sigmoid_noise=0.0)
-    rng = np.random.default_rng(1)
-    feats = jnp.asarray(rng.standard_normal((2, 120, 80)), jnp.float32)
-    feat_len = jnp.asarray([120, 96], jnp.int32)
-    ys = jnp.asarray(rng.integers(1, 11, (2, 4)))
-    vars_ = model.init(jax.random.PRNGKey(0), feats, feat_len, ys)
+    # random init gives near-uniform posteriors: every beam-length-maxlen
+    # hypothesis is CTC-infeasible and the whole beam ties at ~w*LOG0 (the
+    # reference's own numpy loop emits logaddexp-NaN warnings there), so
+    # 1-best becomes tie-order noise.  Brief training makes the search
+    # well-posed (peaked posteriors, real margins) — same rationale as the
+    # full 120-utt gate in tools/parity_gate.py.
+    from tools.parity_gate import make_corpus, pad_feats, train_flax_online
+    utts = make_corpus(12, 80, 11, seed=1)
+    vars_ = train_flax_online(model, utts, steps=50, seed=1)
+    feats_np, flen_np = pad_feats(utts[:2])
+    feats = jnp.asarray(feats_np)
+    feat_len = jnp.asarray(flen_np, jnp.int32)
 
     dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5,
                             ctc_weight=0.4, online=True)

@@ -210,6 +210,108 @@ def train_flax_online(fm, utts, steps, lr=3e-3, seed=0):
     return {"params": params}
 
 
+ONLINE_TINY = dict(idim=20, odim=40,
+                   encoder_attention_dim=32, encoder_attention_heads=2,
+                   encoder_left_chunk=16, encoder_center_chunk=16,
+                   encoder_right_chunk=16,
+                   encoder_linear_units=64, encoder_num_blocks=2,
+                   decoder_attention_dim=32, decoder_self_attention_heads=2,
+                   decoder_src_attention_heads=2, decoder_linear_units=64,
+                   decoder_num_block=2, encoder_dropout_rate=0.0,
+                   decoder_dropout_rate=0.0, ctc_dropout=0.0,
+                   decoder_src_attention_sigmoid_noise=0.0)
+
+
+def run_online_ref_gate(args):
+    """Online gate vs the ACTUAL reference decoder: train the reference
+    torch ``E2E_Transformer_CTC_Online``, drive its own
+    ``decode_feat_online`` loop per utterance (ChunkEncoder streaming
+    forward, MTA endpoint decoding, TCTCPrefixScore, online end detection,
+    final rescore — /root/reference/lasr/decode/ctc_att_decoder.py:336-519),
+    and compare our batched fixed-shape ``online=True`` search on the
+    identical mapped weights."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from lasr.model.e2e_ctc_att.e2e_transformer_online import (
+        E2E_Transformer_CTC_Online as TorchModel)
+    from lasr.decode.ctc_att_decoder import CTC_ATT_Decoder
+    from lasr_tpu.models.e2e_online import (
+        E2E_Transformer_CTC_Online as FlaxModel)
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.utils.torch_compat import torch_to_flax
+
+    torch.manual_seed(args.seed)
+    tm = TorchModel(**ONLINE_TINY)
+    fm = FlaxModel(**ONLINE_TINY)
+    utts = make_corpus(args.n, ONLINE_TINY["idim"], ONLINE_TINY["odim"],
+                       seed=args.seed)
+    print(f"training tiny torch online model on {args.n} synthetic utts "
+          f"({args.train_steps} steps)...", flush=True)
+    tm = train_torch(tm, utts, args.train_steps, seed=args.seed)
+
+    feats, flen = pad_feats(utts)
+    template = fm.init(jax.random.PRNGKey(0), jnp.asarray(feats[:1]),
+                       jnp.asarray(flen[:1], jnp.int32),
+                       jnp.full((1, 3), 5, jnp.int32))
+    variables = torch_to_flax(tm.state_dict(), template=template)
+
+    ref_dec = CTC_ATT_Decoder(tm, SOS, EOS, beam=args.beam,
+                              ctc_beam=args.ctc_beam, nbest=args.beam,
+                              ctc_weight=args.ctc_weight,
+                              penalty=args.penalty)
+    t0 = time.time()
+    ref_hyps = []
+    with torch.no_grad():
+        for x, _ in utts:
+            nb = ref_dec.decode_feat_online(x, torch.tensor([x.shape[0]]))
+            ref_hyps.append([(list(h["yseq"]), float(h["score"]))
+                             for h in nb])
+    t_ref = time.time() - t0
+
+    our_dec = CTCAttBeamDecoder(fm, variables, sos=SOS, eos=EOS,
+                                beam=args.beam, ctc_beam=args.ctc_beam,
+                                nbest=args.beam, ctc_weight=args.ctc_weight,
+                                penalty=args.penalty, online=True)
+    t0 = time.time()
+    out = our_dec(feats, flen)
+    t_ours = time.time() - t0
+
+    agree = 0
+    errs = tot = 0
+    score_deltas = []
+    mismatches = []
+    for b in range(args.n):
+        ref_best, ref_score = ref_hyps[b][0]
+        our_best = out.tokens[b, 0, : int(out.lengths[b, 0])].tolist()
+        our_score = float(out.scores[b, 0])
+        if ref_best == our_best:
+            agree += 1
+            score_deltas.append(abs(ref_score - our_score))
+        else:
+            mismatches.append((b, ref_best, our_best, ref_score, our_score))
+        r = ref_best[1:-1]
+        errs += edit_distance(r, our_best[1:-1])
+        tot += len(r)
+    report = {
+        "model": "transformer_online (vs ACTUAL reference "
+                 "decode_feat_online)",
+        "n_utts": args.n,
+        "beam": args.beam, "ctc_beam": args.ctc_beam,
+        "ctc_weight": args.ctc_weight,
+        "one_best_agreement": agree / args.n,
+        "cross_wer": errs / max(tot, 1),
+        "max_score_delta_on_agreeing": (max(score_deltas)
+                                        if score_deltas else None),
+        "ref_decode_s": round(t_ref, 2),
+        "our_decode_s": round(t_ours, 2),
+    }
+    print(json.dumps(report, indent=2))
+    for b, rb, ob, rs, os_ in mismatches[:10]:
+        print(f"  mismatch utt {b}: ref {rb} ({rs:.4f})  ours {ob} ({os_:.4f})")
+    return report
+
+
 def run_online_gate(args):
     """Online-decode agreement gate: the batched fixed-shape online search
     (decode/beam.py online=True) vs the per-utterance replica driving the
@@ -294,11 +396,17 @@ def run_online_gate(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["transformer", "conformer"],
-                    default="transformer")
+    ap.add_argument("--model",
+                    choices=["transformer", "conformer",
+                             "transformer_online"],
+                    default="transformer",
+                    help="transformer_online drives the ACTUAL reference "
+                         "decode_feat_online on a trained torch online "
+                         "model (mapped weights)")
     ap.add_argument("--online", action="store_true",
-                    help="online gate: batched online=True search vs the "
-                         "reference-TCTCPrefixScore replica")
+                    help="replica online gate: batched online=True search "
+                         "vs the reference-TCTCPrefixScore replica on OUR "
+                         "trained flax model")
     ap.add_argument("--n", type=int, default=120)
     ap.add_argument("--train-steps", type=int, default=120)
     ap.add_argument("--beam", type=int, default=10)
@@ -308,6 +416,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    if args.model == "transformer_online":
+        return run_online_ref_gate(args)
     if args.online:
         return run_online_gate(args)
 
