@@ -8,8 +8,9 @@ IEEE float 32/64, arbitrary channel count, returning float64/float32 in
 reads only the header (the reference probes every file before training,
 dataset.py:118-123).
 
-FLAC/MP3 are not decodable without native codecs; a clear error names the
-gap (the reference handles them via libsndfile/audioread).
+FLAC and mp3 are decoded by first-party codecs (``data/flac.py``,
+``data/mp3.py``) — the reference handles them via libsndfile/audioread
+(``lasr/data/reader.py:23-29``), neither of which ships here.
 """
 
 from __future__ import annotations
@@ -118,31 +119,47 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         from lasr_tpu.data.flac import read_flac
         return read_flac(path)
     if ext == ".mp3":
-        raise NotImplementedError(
-            "mp3 decoding needs a native codec not present in this image; "
-            "convert to WAV/FLAC (the reference uses librosa/audioread "
-            "here, reader.py:23-29)")
+        # first-party MPEG-1/2/2.5 Layer III decoder (data/mp3.py),
+        # validated bit-exact against libmpg123 — the reference decodes
+        # mp3 via librosa/audioread (reader.py:23-29)
+        from lasr_tpu.data.mp3 import read_mp3
+        wav, rate = read_mp3(path)
+        if wav.ndim == 2 and wav.shape[1] == 1:
+            wav = wav[:, 0]
+        return wav, rate
     raise ValueError(f"unknown audio type for {path}")
 
 
+def _ext(path: str) -> str:
+    return os.path.splitext(path)[1].lower()
+
+
 def _is_flac(path: str) -> bool:
-    return os.path.splitext(path)[1].lower() == ".flac"
+    return _ext(path) == ".flac"
 
 
 def get_audio_duration(path: str) -> float:
     if _is_flac(path):
         from lasr_tpu.data.flac import flac_info
         return flac_info(path).duration
+    if _ext(path) == ".mp3":
+        from lasr_tpu.data.mp3 import mp3_info
+        rate, _, samples = mp3_info(path)
+        return samples / rate
     with open(path, "rb") as f:
         return _parse_wav_header(f).duration
 
 
 def get_audio_frames(path: str) -> Tuple[int, int]:
-    """Header-only (num_frames, sample_rate) probe (wav/flac)."""
+    """Header-only (num_frames, sample_rate) probe (wav/flac/mp3)."""
     if _is_flac(path):
         from lasr_tpu.data.flac import flac_info
         fi = flac_info(path)
         return int(fi.total_samples), int(fi.sample_rate)
+    if _ext(path) == ".mp3":
+        from lasr_tpu.data.mp3 import mp3_info
+        rate, _, samples = mp3_info(path)
+        return int(samples), int(rate)
     with open(path, "rb") as f:
         fmt = _parse_wav_header(f)
         return int(fmt.num_frames), int(fmt.sample_rate)
@@ -152,6 +169,9 @@ def get_audio_samplerate(path: str) -> int:
     if _is_flac(path):
         from lasr_tpu.data.flac import flac_info
         return flac_info(path).sample_rate
+    if _ext(path) == ".mp3":
+        from lasr_tpu.data.mp3 import mp3_info
+        return mp3_info(path)[0]
     with open(path, "rb") as f:
         return _parse_wav_header(f).sample_rate
 
