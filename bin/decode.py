@@ -93,7 +93,12 @@ def main(argv=None):
         seg = int(asr_decode_config.get("longform_segment_frames", 0))
         if seg > 0 and method == "ctc_att":
             from lasr_tpu.decode.longform import LongFormCTCAttDecoder
-            longform = LongFormCTCAttDecoder(decoder, segment_frames=seg)
+            longform = LongFormCTCAttDecoder(
+                decoder, segment_frames=seg,
+                encoder_window_frames=int(asr_decode_config.get(
+                    "longform_encoder_window_frames", 0)),
+                encoder_halo_frames=int(asr_decode_config.get(
+                    "longform_encoder_halo_frames", 128)))
             if nbest > 1:
                 logging.warning("longform decoding emits 1-best only; "
                                 "ignoring nbest=%d", nbest)

@@ -290,7 +290,7 @@ class CTCAttBeamDecoder:
         self.parallel_scan = parallel_scan
         self._jit_search = jax.jit(self._search, static_argnames=("max_len",))
 
-    def _encode(self, feats, feat_len):
+    def _encode(self, feats, feat_len, pos_offset=0):
         if self.online:
             # ref_tail: the reference's decode_feat_online consumes every
             # frame of every solo chunk, tail conv margin included
@@ -305,6 +305,7 @@ class CTCAttBeamDecoder:
             # decode bit-equivalent to that regardless of bucket padding
             hs, hs_len = self.model.apply(self.variables, feats, feat_len,
                                           solo_pad=True,
+                                          pos_offset=pos_offset,
                                           method=self.model.encode)
         # search numerics run in f32 regardless of the model compute dtype
         lpz = jax.nn.log_softmax(

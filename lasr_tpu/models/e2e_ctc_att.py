@@ -77,21 +77,24 @@ class E2EBase(nn.Module):
     # ---- decode hooks (reference e2e_base.py:50-91) ----
 
     def encode(self, x, xlen, deterministic: bool = True,
-               solo_pad: bool = False):
+               solo_pad: bool = False, pos_offset=0):
         """``solo_pad=True`` = decode-time semantics: each row's length and
         conv padding behave as if the utterance were encoded alone, making
         batched decode bit-equivalent to the reference's one-at-a-time
-        decode driver (decode_lighting.py:129)."""
-        if solo_pad:
-            import inspect
-            accepts = "solo_pad" in inspect.signature(
-                type(self.encoder).__call__).parameters
-            if accepts:
-                return self.encoder(x, xlen, deterministic=deterministic,
-                                    solo_pad=True)
+        decode driver (decode_lighting.py:129).  ``pos_offset``: absolute-PE
+        start position(s) in encoder frames (long-form windowed encoding;
+        int or per-row (B,) array; no-op for relative PE)."""
+        import inspect
+        params = inspect.signature(type(self.encoder).__call__).parameters
+        kwargs = {}
+        if solo_pad and "solo_pad" in params:
+            kwargs["solo_pad"] = True
             # chunked/streaming encoders window per chunk; solo-pad
-            # semantics don't apply — fall through
-        return self.encoder(x, xlen, deterministic=deterministic)
+            # semantics don't apply — omitted there
+        if not (isinstance(pos_offset, int) and pos_offset == 0) \
+                and "pos_offset" in params:
+            kwargs["pos_offset"] = pos_offset
+        return self.encoder(x, xlen, deterministic=deterministic, **kwargs)
 
     def ctc_logits(self, hs, deterministic: bool = True, domain=None):
         return self.ctc(hs, deterministic=deterministic, domain=domain)
@@ -205,6 +208,7 @@ class E2E_Conformer_CTC(E2EBase):
     domain_dim: int = 0
     encoder_remat: bool = False
     encoder_use_pallas_attention: bool = False
+    encoder_remat_attend: int = 0   # see MultiHeadedAttention.remat_attend
     encoder_scan_layers: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -228,6 +232,7 @@ class E2E_Conformer_CTC(E2EBase):
             cnn_module_kernel=self.encoder_cnn_kernel,
             remat=self.encoder_remat,
             use_pallas_attention=self.encoder_use_pallas_attention,
+            remat_attend=self.encoder_remat_attend,
             scan_layers=self.encoder_scan_layers,
             dtype=self.dtype)
         self.decoder = Decoder(

@@ -29,11 +29,42 @@ def _mask_min(dtype) -> float:
     return float(jnp.finfo(dtype).min)
 
 
+def _rel_fold_ctx(q_u, q_v, k, v, kmat, pos_table, mask, neg, dk):
+    """Full rel-pos (folded-table) attention interior as one pure function
+    — the remat_attend=2 region (see RelPositionMultiHeadedAttention)."""
+    ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
+    z = jnp.einsum("bqhd,mhd->bhqm", q_v, kmat)
+    bd = jnp.einsum("bhqm,qkm->bhqk", z, pos_table)
+    return _softmax_ctx((ac + bd) / math.sqrt(dk), v, mask, neg)
+
+
+def _softmax_ctx(scores, v, mask, neg):
+    """Pure mask→softmax→mask→context core (the remat_attend region).
+    scores: (B,H,T1,T2); v: (B,T2,H,dk); mask (B,1|H,T1|1,T2) or None."""
+    if mask is not None:
+        scores = jnp.where(mask, scores, neg)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        # zero fully-masked rows (see the comment in _softmax_attend)
+        attn = jnp.where(mask, attn, 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+
 class MultiHeadedAttention(nn.Module):
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # rematerialize the attention interior in the backward pass instead of
+    # saving (B, H, T, T)-sized intermediates: 1 = recompute the softmax
+    # region (scores stay saved), 2 = recompute scores too (only q/k/v and
+    # the position projections are saved).  Saved (B,H,T,T) tensors are
+    # what XLA spills and relayouts between their forward producer and the
+    # several backward consumers (~15 ms/step of pure copies at recipe
+    # shapes, tools/xprof_detail.py) — recomputing them keeps each
+    # materialization single-consumer.  Ignored when the attention map is
+    # being sown (calculate_all_attentions) or attention dropout is live.
+    remat_attend: int = 0
 
     @property
     def d_k(self) -> int:
@@ -58,12 +89,25 @@ class MultiHeadedAttention(nn.Module):
     def project_kv(self, key, value):
         return self._split(self.linear_k(key)), self._split(self.linear_v(value))
 
+    def _remat_ok(self, deterministic) -> bool:
+        return (self.remat_attend > 0
+                and not self.is_mutable_collection("intermediates")
+                and (deterministic or self.dropout_rate == 0.0))
+
     def _softmax_attend(self, scores, v, mask, deterministic):
         """scores: (B, H, T1, T2); v: (B, T2, H, dk); mask broadcastable to
         (B, 1|H, T1|1, T2) boolean."""
         if mask is not None:
             while mask.ndim < scores.ndim:
                 mask = mask[:, None] if mask.ndim == 3 else mask[None]
+        if self._remat_ok(deterministic):
+            core = jax.checkpoint(
+                _softmax_ctx, static_argnums=(3,),
+                policy=jax.checkpoint_policies.nothing_saveable)
+            x = core(scores, v, mask, _mask_min(scores.dtype))
+            B, T1 = x.shape[:2]
+            return self.linear_out(x.reshape(B, T1, self.n_feat))
+        if mask is not None:
             scores = jnp.where(mask, scores, _mask_min(scores.dtype))
             attn = jax.nn.softmax(scores, axis=-1)
             # the second masked_fill(0.0) (reference attention.py:84-88)
@@ -221,18 +265,36 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
 
         q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
-        # content score (matrix a+c) and position score (matrix b+d)
-        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
         T1, T2 = q.shape[1], k.shape[1]
+        # content score (matrix a+c) and position score (matrix b+d)
         if (pos_table is not None and not self.zero_triu and T1 == T2
                 and pos_table.shape[0] == T1):
             kernel = self.linear_pos.get_kernel()       # (M, n_feat)
             kmat = kernel.reshape(kernel.shape[0], self.n_head, self.d_k)
+            if self.remat_attend >= 2 and self._remat_ok(deterministic):
+                # recompute the whole score interior in the backward pass:
+                # only q/k/v-sized tensors and the (shared, layer-invariant)
+                # pos_table are saved — no (B,H,T,T) tensor survives the
+                # forward, so none is spilled or relayouted
+                m = mask
+                if m is not None:
+                    while m.ndim < 4:
+                        m = m[:, None] if m.ndim == 3 else m[None]
+                core = jax.checkpoint(
+                    _rel_fold_ctx, static_argnums=(7, 8),
+                    policy=jax.checkpoint_policies.nothing_saveable)
+                x = core(q_u, q_v, k, v, kmat.astype(q_v.dtype),
+                         pos_table.astype(q_v.dtype), m,
+                         _mask_min(q_v.dtype), self.d_k)
+                B, T = x.shape[:2]
+                return self.linear_out(x.reshape(B, T, self.n_feat))
+            matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
             z = jnp.einsum("bqhd,mhd->bhqm", q_v, kmat.astype(q_v.dtype))
             matrix_bd = jnp.einsum("bhqm,qkm->bhqk", z,
                                    pos_table.astype(z.dtype))
             scores = (matrix_ac + matrix_bd) / math.sqrt(self.d_k)
             return self._softmax_attend(scores, v, mask, deterministic)
+        matrix_ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
         p = self._split(self.linear_pos(pos_emb))       # (1|B, 2T-1, H, dk)
         if p.shape[0] == 1:
             # shared pos table: contract without materializing a per-batch

@@ -75,6 +75,7 @@ class ConformerEncoderLayer(nn.Module):
     normalize_before: bool = True
     concat_after: bool = False
     use_pallas_attention: bool = False
+    remat_attend: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def _positionwise(self, name):
@@ -119,12 +120,14 @@ class ConformerEncoderLayer(nn.Module):
             att = RelPositionMultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
                 use_pallas=self.use_pallas_attention,
+                remat_attend=self.remat_attend,
                 dtype=self.dtype, name="self_attn")(
                 x, x, x, pos_emb, mask, deterministic=deterministic,
                 pos_table=pos_table)
         else:
             att = MultiHeadedAttention(
                 self.attention_heads, self.size, self.attention_dropout_rate,
+                remat_attend=self.remat_attend,
                 dtype=self.dtype, name="self_attn")(
                 x, x, x, mask, deterministic=deterministic)
         if self.concat_after:
@@ -188,6 +191,7 @@ class _ScanConformerLayer(nn.Module):
     normalize_before: bool = True
     concat_after: bool = False
     use_pallas_attention: bool = False
+    remat_attend: int = 0
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -203,7 +207,8 @@ class _ScanConformerLayer(nn.Module):
             self.positionwise_conv_kernel_size, self.macaron_style,
             self.use_cnn_module, self.cnn_module_kernel,
             self.normalize_before, self.concat_after,
-            self.use_pallas_attention, dtype=self.dtype, name="block")
+            self.use_pallas_attention, remat_attend=self.remat_attend,
+            dtype=self.dtype, name="block")
         x = layer(carry.x, mask, pos_emb, carry.deterministic, conv_zero_mask,
                   pos_table)
         return carry.replace(x=x), ()
@@ -227,6 +232,7 @@ class ConformerEncoder(nn.Module):
     positionwise_conv_kernel_size: int = 1
     macaron_style: bool = False
     pos_enc_layer_type: str = "abs_pos"   # abs_pos | scaled_abs_pos | rel_pos
+    remat_attend: int = 0                 # see MultiHeadedAttention.remat_attend
     selfattention_layer_type: str = "selfattn"
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
@@ -285,6 +291,7 @@ class ConformerEncoder(nn.Module):
             normalize_before=self.normalize_before,
             concat_after=self.concat_after,
             use_pallas_attention=self.use_pallas_attention,
+            remat_attend=self.remat_attend,
             dtype=self.dtype)
         if self.scan_layers:
             scanned = nn.scan(
@@ -306,23 +313,32 @@ class ConformerEncoder(nn.Module):
             self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
 
     def __call__(self, x, x_len, att_mask=None, deterministic: bool = True,
-                 solo_pad: bool = False):
+                 solo_pad: bool = False, pos_offset=0):
         """``solo_pad``: decode-time semantics — per-row lengths as if each
         utterance were encoded alone, and zeros past the valid length before
         the conv module (the reference decodes utterances one at a time, so
-        this makes batched decode bit-equivalent to its solo decode)."""
+        this makes batched decode bit-equivalent to its solo decode).
+        ``pos_offset``: absolute-PE start position(s) in encoder frames
+        (int or (B,) array, long-form windows); a no-op under rel_pos,
+        which is translation-invariant by construction."""
         rel = self.pos_enc_layer_type == "rel_pos"
         if self.input_layer == "conv2d":
-            out, h_len = self.embed(x, x_len, deterministic=deterministic,
+            out, h_len = self.embed(x, x_len,
+                                    offset=0 if rel else pos_offset,
+                                    deterministic=deterministic,
                                     solo_len=solo_pad)
         elif self.input_layer == "linear":
             h = self.embed_linear(x)
             h = self.embed_norm(h)
             h = self.embed_dropout(h, deterministic=deterministic)
-            out = self.embed_pos(h, deterministic=deterministic)
+            out = (self.embed_pos(h, deterministic=deterministic) if rel else
+                   self.embed_pos(h, offset=pos_offset,
+                                  deterministic=deterministic))
             h_len = x_len
         else:
-            out = self.embed_pos(x, deterministic=deterministic)
+            out = (self.embed_pos(x, deterministic=deterministic) if rel else
+                   self.embed_pos(x, offset=pos_offset,
+                                  deterministic=deterministic))
             h_len = x_len
         if rel:
             h, pos_emb = out

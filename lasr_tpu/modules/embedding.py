@@ -36,6 +36,32 @@ def sinusoid_table(length: int, d_model: int, negative: bool = False) -> np.ndar
     return table.astype(np.float32)
 
 
+def _sinusoid_at(positions: jnp.ndarray, d_model: int) -> jnp.ndarray:
+    """Sinusoid PE evaluated at dynamic ``positions`` (..., ) → (..., d).
+
+    On-the-fly counterpart of ``sinusoid_table`` for per-row offsets with
+    no static table bound (long-form windowed encoding: positions grow
+    with audio length)."""
+    div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                  * -(math.log(10000.0) / d_model))
+    ang = positions[..., None].astype(jnp.float32) * div
+    out = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return out.reshape(*positions.shape, d_model)
+
+
+def _pos_slice(pe, offset, T: int, d_model: int, dtype):
+    """PE rows [offset, offset+T) — (1, T, d) for scalar offsets (table
+    slice), (B, T, d) for per-row offset arrays (computed on the fly)."""
+    if isinstance(offset, int):
+        return (pe[:T] if offset == 0 else
+                lax.dynamic_slice_in_dim(pe, offset, T, axis=0))[None]
+    offset = jnp.asarray(offset)
+    if offset.ndim == 0:
+        return lax.dynamic_slice_in_dim(pe, offset, T, axis=0)[None]
+    pos = offset[:, None] + jnp.arange(T)[None]
+    return _sinusoid_at(pos, d_model).astype(dtype)
+
+
 class PositionalEncoding(nn.Module):
     d_model: int
     dropout_rate: float = 0.1
@@ -47,11 +73,8 @@ class PositionalEncoding(nn.Module):
         T = x.shape[1]
         table_len = max(self.max_len, T)
         pe = jnp.asarray(sinusoid_table(table_len, self.d_model), dtype=self.dtype)
-        if isinstance(offset, int) and offset == 0:
-            pos = pe[:T]
-        else:
-            pos = lax.dynamic_slice_in_dim(pe, offset, T, axis=0)
-        x = x * math.sqrt(self.d_model) + pos[None]
+        pos = _pos_slice(pe, offset, T, self.d_model, self.dtype)
+        x = x * math.sqrt(self.d_model) + pos
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
 
@@ -66,12 +89,9 @@ class ScaledPositionalEncoding(nn.Module):
         T = x.shape[1]
         table_len = max(self.max_len, T)
         pe = jnp.asarray(sinusoid_table(table_len, self.d_model), dtype=self.dtype)
-        if isinstance(offset, int) and offset == 0:
-            pos = pe[:T]
-        else:
-            pos = lax.dynamic_slice_in_dim(pe, offset, T, axis=0)
+        pos = _pos_slice(pe, offset, T, self.d_model, self.dtype)
         alpha = self.param("alpha", nn.initializers.ones, (), jnp.float32)
-        x = x + alpha.astype(self.dtype) * pos[None]
+        x = x + alpha.astype(self.dtype) * pos
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
 

@@ -144,29 +144,36 @@ class Encoder(nn.Module):
             self.after_norm = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype)
 
     def embed_input(self, x, x_len, deterministic: bool = True,
-                    solo_len: bool = False):
+                    solo_len: bool = False, pos_offset=0):
+        """``pos_offset``: absolute-PE start position(s) in encoder frames
+        — int, or (B,) array for per-row offsets (long-form windows)."""
         if self.input_layer == "conv2d":
-            return self.embed(x, x_len, deterministic=deterministic,
+            return self.embed(x, x_len, offset=pos_offset,
+                              deterministic=deterministic,
                               solo_len=solo_len)
         if self.input_layer == "linear":
             h = self.embed_linear(x)
             h = self.embed_norm(h)
             h = self.embed_dropout(h, deterministic=deterministic)
             h = nn.relu(h)
-            return self.embed_pos(h, deterministic=deterministic), x_len
-        if self.input_layer == "embed":
-            return self.embed_pos(self.embed_tok(x),
+            return self.embed_pos(h, offset=pos_offset,
                                   deterministic=deterministic), x_len
-        return self.embed_pos(x, deterministic=deterministic), x_len
+        if self.input_layer == "embed":
+            return self.embed_pos(self.embed_tok(x), offset=pos_offset,
+                                  deterministic=deterministic), x_len
+        return self.embed_pos(x, offset=pos_offset,
+                              deterministic=deterministic), x_len
 
     def __call__(self, x, x_len, att_mask=None, deterministic: bool = True,
-                 solo_pad: bool = False):
+                 solo_pad: bool = False, pos_offset=0):
         """att_mask: optional (T', T') or (B, T', T') extra attention
         constraint (e.g. streaming chunk mask) combined with padding.
         ``solo_pad``: decode-time per-row lengths as if each utterance were
-        encoded alone (see Conv2dSubsampling.subsampled_len)."""
+        encoded alone (see Conv2dSubsampling.subsampled_len).
+        ``pos_offset``: absolute-PE start position(s), int or (B,) array
+        (long-form windowed encoding)."""
         h, h_len = self.embed_input(x, x_len, deterministic,
-                                    solo_len=solo_pad)
+                                    solo_len=solo_pad, pos_offset=pos_offset)
         T = h.shape[1]
         pad = jnp.arange(T)[None, :] < h_len[:, None]  # (B, T)
         mask = pad[:, None, :]                          # (B, 1, T)

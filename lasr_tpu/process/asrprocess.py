@@ -58,10 +58,15 @@ class ASRProcess:
             seg = int(cfg.get("longform_segment_frames", 0))
             self.longform = None
             if seg > 0 and self.method == "ctc_att":
-                # hour-scale audio: blank-aligned segmented decoding
+                # hour-scale audio: windowed linear-compute encoding +
+                # blank-aligned segmented decoding
                 from lasr_tpu.decode.longform import LongFormCTCAttDecoder
-                self.longform = LongFormCTCAttDecoder(self.decoder,
-                                                      segment_frames=seg)
+                self.longform = LongFormCTCAttDecoder(
+                    self.decoder, segment_frames=seg,
+                    encoder_window_frames=int(cfg.get(
+                        "longform_encoder_window_frames", 0)),
+                    encoder_halo_frames=int(cfg.get(
+                        "longform_encoder_halo_frames", 128)))
         elif self.method == "ctc_bs":
             from lasr_tpu.decode.ctc_bs import CTC_Decoder
             self.bs_decoder = CTC_Decoder(

@@ -127,16 +127,22 @@ def test_ctc_prefix_parallel_scan_matches_sequential():
                                    atol=1e-4)
 
 
-def test_longform_segmented_decode_matches_full():
-    """Long-form mechanics: cut points land on the most blank-dominated
-    frames, and every segment's result equals a direct fixed-shape search
-    over the same encoder/CTC slice (bucket padding, dummy batch rows and
-    token extraction included) — batched-vs-solo independence of the
-    search itself is pinned separately by the bucketing tests."""
+def _burst_utt(tokens, rng):
+    """Feature stream of per-token bursts separated by silence."""
+    pieces = []
+    for t in tokens:
+        b = np.zeros((24, 20), np.float32)
+        b[:, (3 * t) % 20] = 2.0
+        b += 0.2 * rng.standard_normal(b.shape).astype(np.float32)
+        pieces += [b, np.zeros((20, 20), np.float32)]
+    return np.concatenate(pieces, axis=0)
+
+
+@pytest.fixture(scope="module")
+def burst_model():
+    """1-block E2E model briefly trained on burst utterances so posteriors
+    are peaked and blanks mark silence (shared by the long-form tests)."""
     import optax
-    from lasr_tpu.decode.beam import CTCAttBeamDecoder
-    from lasr_tpu.decode.longform import LongFormCTCAttDecoder, \
-        pick_cut_frames
     from lasr_tpu.ops.ctc import ctc_forward_from_logits
 
     model = E2E_Transformer_CTC(
@@ -149,22 +155,10 @@ def test_longform_segmented_decode_matches_full():
         ctc_dropout=0.0)
     rng = np.random.default_rng(5)
 
-    def burst(tok):
-        b = np.zeros((24, 20), np.float32)
-        b[:, (3 * tok) % 20] = 2.0
-        return b + 0.2 * rng.standard_normal(b.shape).astype(np.float32)
-
-    def utt(tokens):
-        pieces = []
-        for t in tokens:
-            pieces += [burst(t), np.zeros((20, 20), np.float32)]
-        return np.concatenate(pieces, axis=0)
-
-    # brief training so posteriors are peaked and blanks mark silence
     utts = []
     for _ in range(24):
         toks = rng.integers(6, 12, rng.integers(2, 6))
-        utts.append((utt(toks), toks.astype(np.int32)))
+        utts.append((_burst_utt(toks, rng), toks.astype(np.int32)))
     Tmax = max(x.shape[0] for x, _ in utts)
     B = len(utts)
     feats_tr = np.zeros((B, Tmax, 20), np.float32)
@@ -207,10 +201,22 @@ def test_longform_segmented_decode_matches_full():
         return optax.apply_updates(params, u), new_opt, loss
     for _ in range(120):
         params, opt, loss = step(params, opt)
-    vars_ = {"params": params}
+    return model, {"params": params}, rng
 
+
+def test_longform_segmented_decode_matches_full(burst_model):
+    """Long-form mechanics: cut points land on the most blank-dominated
+    frames, and every segment's result equals a direct fixed-shape search
+    over the same encoder/CTC slice (bucket padding, dummy batch rows and
+    token extraction included) — batched-vs-solo independence of the
+    search itself is pinned separately by the bucketing tests."""
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.decode.longform import LongFormCTCAttDecoder, \
+        pick_cut_frames
+
+    model, vars_, rng = burst_model
     long_toks = [6, 9, 11, 8, 10]
-    feats = utt(long_toks)[None]
+    feats = _burst_utt(long_toks, rng)[None]
     flen = np.asarray([feats.shape[1]], np.int64)
 
     dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5, ctc_weight=0.7)
@@ -243,3 +249,66 @@ def test_longform_segmented_decode_matches_full():
                          jnp.asarray(lp), max_len=S)
         want = np.asarray(out[0])[0, 0][1: int(np.asarray(out[1])[0, 0]) - 1]
         assert per_seg[i] == want.tolist(), (i, per_seg[i], want)
+
+
+def test_longform_windowed_encoder_alignment(burst_model):
+    """Windowed-encode mechanics: with a halo that covers the whole input,
+    every window sees full context, so the stitched (hs, lpz) must equal
+    the plain full forward exactly (window slicing, conv-stride alignment,
+    batching, center extraction and tail handling all pinned)."""
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.decode.longform import LongFormCTCAttDecoder, _enc_len
+
+    model, vars_, rng = burst_model
+    feats = _burst_utt([6, 9, 11, 8, 10, 7, 6, 11], rng)[None]
+    flen = np.asarray([feats.shape[1]], np.int64)
+
+    dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5, ctc_weight=0.7)
+    hs_full, hs_len, lpz_full = dec._encode(jnp.asarray(feats),
+                                            jnp.asarray(flen))
+    T = int(np.asarray(hs_len)[0])
+    assert T == _enc_len(int(flen[0]))
+
+    halo_enc = (int(flen[0]) + 4) // 4          # halo >= whole input
+    lf = LongFormCTCAttDecoder(dec, segment_frames=16,
+                               encoder_window_frames=8,
+                               encoder_halo_frames=halo_enc,
+                               encoder_window_batch=3)
+    hs_w, T_w, lpz_w = lf._encode_windowed(feats, flen)
+    assert T_w == T and hs_w.shape[0] == T
+    np.testing.assert_allclose(hs_w, np.asarray(hs_full[0])[:T],
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(lpz_w, np.asarray(lpz_full[0])[:T],
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_longform_windowed_decode_close_to_full(burst_model):
+    """Windowed-encoder regression guard: long-form decode through the
+    windowed (linear-compute) encoder stays close to the full-forward
+    decode for every halo (a stitching/alignment bug garbles the whole
+    transcript; halo-truncation on this deliberately-global tiny model
+    only flips near-ties).  Exact windowed==full agreement is gated on the
+    recipe rel-pos conformer in tools/bench_longform.py (BASELINE.md) —
+    this 1-block abs-PE model does not generalize past its training
+    length, so even its full forward is unstable on long streams."""
+    from lasr_tpu.decode.beam import CTCAttBeamDecoder
+    from lasr_tpu.decode.longform import LongFormCTCAttDecoder
+    from lasr_tpu.utils.text import edit_distance
+
+    model, vars_, rng = burst_model
+    long_toks = [6, 9, 11, 8, 10, 7, 9, 6, 10, 11, 8, 7]
+    feats = _burst_utt(long_toks, rng)[None]
+    flen = np.asarray([feats.shape[1]], np.int64)
+
+    dec = CTCAttBeamDecoder(model, vars_, beam=3, ctc_beam=5, ctc_weight=0.7)
+    full = LongFormCTCAttDecoder(dec, segment_frames=24, window_frames=6,
+                                 encoder_window_frames=10 ** 6)  # full fwd
+    tok_full, _ = full(feats, flen)
+    assert tok_full  # decoded something
+    for W, H in ((16, 32), (32, 32)):
+        windowed = LongFormCTCAttDecoder(
+            dec, segment_frames=24, window_frames=6,
+            encoder_window_frames=W, encoder_halo_frames=H)
+        tok_win, _ = windowed(feats, flen)
+        d = edit_distance(tok_win, tok_full)
+        assert d <= max(2, len(tok_full) // 4), (W, H, tok_win, tok_full)

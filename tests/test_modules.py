@@ -79,6 +79,21 @@ def test_positional_encoding_offset():
     np.testing.assert_allclose(off[0], base[0, 3:7], atol=1e-6)
 
 
+def test_positional_encoding_per_row_offsets():
+    """Array offsets (long-form windows) must equal per-row table slices,
+    including positions past the static table bound."""
+    pe = PositionalEncoding(8, dropout_rate=0.0, max_len=6000)
+    x = jnp.zeros((3, 4, 8))
+    params = pe.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(pe.apply(params, x, offset=jnp.asarray([0, 3, 5500])))
+    base = np.asarray(pe.apply(params, jnp.zeros((1, 5504, 8))))
+    for i, o in enumerate((0, 3, 5500)):
+        np.testing.assert_allclose(out[i], base[0, o: o + 4], atol=1e-4)
+    # beyond any table: values computed on the fly, still finite/correct
+    far = np.asarray(pe.apply(params, x[:1], offset=jnp.asarray([50000])))
+    assert np.isfinite(far).all()
+
+
 def test_rel_positional_encoding_center():
     pe = RelPositionalEncoding(8, dropout_rate=0.0)
     x = jnp.zeros((1, 5, 8))

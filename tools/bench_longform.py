@@ -70,11 +70,16 @@ def main():
             variables = model.init(jax.random.PRNGKey(0), feats[:, :400],
                                    jnp.asarray([400], jnp.int32),
                                    jnp.ones((1, 3), jnp.int32))
-        modes = ["seq", "pscan", "segmented"]
+        modes = ["seq", "pscan", "segmented", "windowed"]
         if secs > 60:
             # the parallel-scan variant is off by default and its 3x3
             # matrix intermediates crash/OOM the worker at minutes scale
             modes.remove("pscan")
+        if secs > 150:
+            # the full quadratic encoder (direct AND full-encode
+            # segmented) walls out past ~2-3 min — windowed only there
+            modes = ["windowed"]
+        tokens_by_mode = {}
         for mode in modes:
             dec = CTCAttBeamDecoder(model, variables, beam=args.beam,
                                     ctc_beam=args.ctc_beam, ctc_weight=0.5,
@@ -83,10 +88,17 @@ def main():
             # realistic for long audio: ~12.5 tokens/s of speech
             dec.maxlenratio = min(1.0, (14.0 * secs) /
                                   (feats.shape[1] / 4 + 1))
-            if mode == "segmented":
+            if mode in ("segmented", "windowed"):
                 from lasr_tpu.decode.longform import LongFormCTCAttDecoder
                 dec.maxlenratio = 0.0
-                run = LongFormCTCAttDecoder(dec, segment_frames=512)
+                # windowed: 512-frame centers + 128-frame halo keeps the
+                # per-window T at 768 (within the rel-pos fold cap) and
+                # ~5 s of attention context each side
+                run = LongFormCTCAttDecoder(
+                    dec, segment_frames=512,
+                    encoder_window_frames=(512 if mode == "windowed"
+                                           else 10 ** 9),
+                    encoder_halo_frames=128)
                 n_tok = lambda o: len(o[0])
             else:
                 run = dec
@@ -96,29 +108,43 @@ def main():
                 out = run(np.asarray(feats), np.asarray(flen))
                 compile_s = time.time() - t0
                 t0 = time.time()
-                iters = 3
+                iters = 3 if secs <= 300 else 1
                 for _ in range(iters):
                     out = run(np.asarray(feats), np.asarray(flen))
                 dt = (time.time() - t0) / iters
+                if mode in ("segmented", "windowed"):
+                    tokens_by_mode[mode] = list(out[0])
+                mem = jax.devices()[0].memory_stats() or {}
                 rows.append({"secs": secs, "mode": mode,
                              "decode_s": round(dt, 3),
                              "rtf": round(dt / secs, 4),
                              "compile_s": round(compile_s, 1),
-                             "n_tokens": n_tok(out)})
+                             "n_tokens": n_tok(out),
+                             "peak_hbm_gb": round(mem.get(
+                                 "peak_bytes_in_use", 0) / 2 ** 30, 2)})
             except Exception as e:  # HBM OOM at long T — part of the story
                 rows.append({"secs": secs, "mode": mode,
                              "error": type(e).__name__,
                              "detail": str(e).split("\n")[0][:120]})
             print(json.dumps(rows[-1]), flush=True)
+        if "segmented" in tokens_by_mode and "windowed" in tokens_by_mode:
+            from lasr_tpu.utils.text import edit_distance
+            a, b = tokens_by_mode["segmented"], tokens_by_mode["windowed"]
+            d = edit_distance(a, b)
+            print(json.dumps({"secs": secs,
+                              "windowed_vs_full_edit": d,
+                              "ref_tokens": len(a)}), flush=True)
     print("\nRTF table (chip=%s):" % jax.devices()[0].platform)
-    print(f"{'secs':>6} {'seq RTF':>9} {'pscan RTF':>10} {'segmented':>10}")
+    print(f"{'secs':>6} {'seq RTF':>9} {'pscan RTF':>10} {'segmented':>10}"
+          f" {'windowed':>9}")
     nan = float("nan")
     by = {}
     for r in rows:
         by.setdefault(r["secs"], {})[r["mode"]] = r.get("rtf", nan)
     for secs, d in by.items():
         print(f"{secs:6.0f} {d.get('seq', nan):9.4f} "
-              f"{d.get('pscan', nan):10.4f} {d.get('segmented', nan):10.4f}")
+              f"{d.get('pscan', nan):10.4f} {d.get('segmented', nan):10.4f}"
+              f" {d.get('windowed', nan):9.4f}")
 
 
 if __name__ == "__main__":
