@@ -29,6 +29,24 @@ def _mask_min(dtype) -> float:
     return float(jnp.finfo(dtype).min)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _rot_tables(T: int, M: int):
+    """Numpy constants for the rotated rel-position fold (see
+    ``RelPositionMultiHeadedAttention._rot_fold_attend``): W[i] carries
+    sin/cos(ω_c·i) interleaved (= ``sinusoid_table``), V[j] the same with
+    sin/cos swapped within each frequency pair."""
+    from lasr_tpu.modules.embedding import sinusoid_table
+    import numpy as np
+    W = sinusoid_table(T, M)              # [i,2c]=sin(ω_c i), [2c+1]=cos
+    V = np.empty_like(W)
+    V[:, 0::2] = W[:, 1::2]               # cos(ω_c j)
+    V[:, 1::2] = W[:, 0::2]               # sin(ω_c j)
+    return W, V
+
+
 def _rel_fold_ctx(q_u, q_v, k, v, kmat, pos_table, mask, neg, dk):
     """Full rel-pos (folded-table) attention interior as one pure function
     — the remat_attend=2 region (see RelPositionMultiHeadedAttention)."""
@@ -203,6 +221,15 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     # is a key-prefix padding mask and attention dropout is inactive; falls
     # back to the XLA path otherwise (attn-map sow only exists on fallback)
     use_pallas: bool = False
+    # rotated fold (deterministic forwards only): merge content+position
+    # scores into ONE matmul via the sinusoid angle-addition identity —
+    # see _rot_fold_attend.  The path IGNORES the passed pos_emb values
+    # and reconstructs the standard sinusoid table, so only the owner of
+    # the positional encoding may enable it (the conformer encoder does:
+    # its rel_pos PE is exactly that table; positional dropout in
+    # training breaks the identity, so training keeps the fold/rel_shift
+    # paths and this one triggers only when deterministic).
+    rot_fold: bool = False
 
     def setup(self):
         super().setup()
@@ -247,6 +274,38 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         ctx = jnp.moveaxis(ctx.reshape(B, H, T, dk), 1, 2)
         return self.linear_out(ctx.reshape(B, T, self.n_feat))
 
+    def _rot_fold_attend(self, q_u, q_v, k, v, mask, deterministic):
+        """Rotated rel-position fold: with the pure sinusoid table,
+        ``bd[i,j] = q_v_i · p(i−j)`` decomposes exactly (angle addition)
+        as ``u_i · V_j`` where ``u = rot_i(q_v @ W_pos)`` is a per-query
+        2×2 rotation per frequency pair — so content and position scores
+        merge into ONE matmul over dk+M lanes:
+
+            scores = [q_u ; u] @ [k ; V]^T / sqrt(dk)
+
+        vs the table fold this removes the O(T²·M) skewed table (and its
+        length cap), the separate ac/bd matmuls, and the (B,H,T,T) ac+bd
+        add.  Valid only when pos_emb is the undropped table
+        (deterministic) and unclamped (max_dist is never set here)."""
+        B, T = q_u.shape[:2]
+        M, H, dk = self.n_feat, self.n_head, self.d_k
+        kernel = self.linear_pos.get_kernel()
+        kmat = kernel.reshape(M, H, dk).astype(q_v.dtype)
+        z = jnp.einsum("bqhd,mhd->bqhm", q_v, kmat)      # (B,T,H,M)
+        W, V = _rot_tables(T, M)
+        si = jnp.asarray(W[:, 0::2], z.dtype)[None, :, None, :]
+        ci = jnp.asarray(W[:, 1::2], z.dtype)[None, :, None, :]
+        zs, zc = z[..., 0::2], z[..., 1::2]
+        u = jnp.stack([zs * si + zc * ci, zc * si - zs * ci], axis=-1)
+        u = u.reshape(z.shape)
+        qcat = jnp.concatenate([q_u, u], axis=-1)        # (B,T,H,dk+M)
+        vb = jnp.broadcast_to(jnp.asarray(V, k.dtype)[None, :, None, :],
+                              (B, T, H, M))
+        kcat = jnp.concatenate([k, vb], axis=-1)
+        scores = jnp.einsum("bqhe,bkhe->bhqk", qcat, kcat) \
+            / math.sqrt(dk)
+        return self._softmax_attend(scores, v, mask, deterministic)
+
     def __call__(self, query, key, value, pos_emb, mask=None,
                  deterministic: bool = True, pos_table=None):
         """``pos_table``: optional pre-skewed (T, T, M) table from
@@ -266,6 +325,12 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
         T1, T2 = q.shape[1], k.shape[1]
+        if (self.rot_fold and deterministic and not self.zero_triu
+                and T1 == T2 and pos_emb is not None
+                and pos_emb.shape[0] == 1
+                and pos_emb.shape[1] == 2 * T1 - 1):
+            return self._rot_fold_attend(q_u, q_v, k, v, mask,
+                                         deterministic)
         # content score (matrix a+c) and position score (matrix b+d)
         if (pos_table is not None and not self.zero_triu and T1 == T2
                 and pos_table.shape[0] == T1):

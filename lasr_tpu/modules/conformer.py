@@ -76,6 +76,7 @@ class ConformerEncoderLayer(nn.Module):
     concat_after: bool = False
     use_pallas_attention: bool = False
     remat_attend: int = 0
+    rot_fold: bool = False   # see RelPositionMultiHeadedAttention.rot_fold
     dtype: jnp.dtype = jnp.float32
 
     def _positionwise(self, name):
@@ -121,6 +122,7 @@ class ConformerEncoderLayer(nn.Module):
                 self.attention_heads, self.size, self.attention_dropout_rate,
                 use_pallas=self.use_pallas_attention,
                 remat_attend=self.remat_attend,
+                rot_fold=self.rot_fold,
                 dtype=self.dtype, name="self_attn")(
                 x, x, x, pos_emb, mask, deterministic=deterministic,
                 pos_table=pos_table)
@@ -192,6 +194,7 @@ class _ScanConformerLayer(nn.Module):
     concat_after: bool = False
     use_pallas_attention: bool = False
     remat_attend: int = 0
+    rot_fold: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -208,6 +211,7 @@ class _ScanConformerLayer(nn.Module):
             self.use_cnn_module, self.cnn_module_kernel,
             self.normalize_before, self.concat_after,
             self.use_pallas_attention, remat_attend=self.remat_attend,
+            rot_fold=self.rot_fold,
             dtype=self.dtype, name="block")
         x = layer(carry.x, mask, pos_emb, carry.deterministic, conv_zero_mask,
                   pos_table)
@@ -233,6 +237,9 @@ class ConformerEncoder(nn.Module):
     macaron_style: bool = False
     pos_enc_layer_type: str = "abs_pos"   # abs_pos | scaled_abs_pos | rel_pos
     remat_attend: int = 0                 # see MultiHeadedAttention.remat_attend
+    # the encoder's rel_pos PE is exactly the standard sinusoid table, so
+    # the rotated-fold deterministic fast path is sound to enable here
+    rot_fold: bool = True
     selfattention_layer_type: str = "selfattn"
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
@@ -292,6 +299,8 @@ class ConformerEncoder(nn.Module):
             concat_after=self.concat_after,
             use_pallas_attention=self.use_pallas_attention,
             remat_attend=self.remat_attend,
+            rot_fold=(self.rot_fold
+                      and self.pos_enc_layer_type == "rel_pos"),
             dtype=self.dtype)
         if self.scan_layers:
             scanned = nn.scan(

@@ -273,6 +273,24 @@ def test_folded_rel_attention_matches_shift_path():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_rot_fold_matches_rel_shift_on_sinusoid_pe():
+    """The rotated fold (one merged matmul, sinusoid angle-addition) must
+    equal the rel_shift path exactly when pos_emb is the true sinusoid
+    table — including under a padding mask."""
+    B, T, H, F = 2, 11, 2, 16
+    att = RelPositionMultiHeadedAttention(H, F, 0.0, rot_fold=True)
+    att_ref = RelPositionMultiHeadedAttention(H, F, 0.0, rot_fold=False)
+    pe = RelPositionalEncoding(F, dropout_rate=0.0)
+    pe_vars = pe.init(jax.random.PRNGKey(0), jnp.zeros((1, T, F)))
+    _, pos = pe.apply(pe_vars, jnp.zeros((1, T, F)))       # (1, 2T-1, F)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, F))
+    mask = (jnp.arange(T)[None, :] < jnp.asarray([[T], [T - 4]]))[:, None, :]
+    vars_ = att.init(jax.random.PRNGKey(2), x, x, x, pos, mask)
+    got = att.apply(vars_, x, x, x, pos, mask)
+    want = att_ref.apply(vars_, x, x, x, pos, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_conformer_solo_pad_matches_solo_encode():
     """solo_pad=True batched encode == encoding each row alone (the decode
     contract: reference decode is one-utterance-at-a-time)."""
