@@ -1,0 +1,247 @@
+"""Recipe-scale dress rehearsal on the real chip (VERDICT round-2 item 6).
+
+The CI en-recipe test (tests/test_recipe_en.py) runs the real CLIs on 20
+tiny utterances; this tool scales it to recipe-shaped reality: ~1k
+synthetic FLAC utterances, a 5k-piece WordPiece tokenizer trained from the
+transcripts, the FULL 46M conformer from
+example/asr_en/conf/config_baseline.yaml, 500 s-audio duration batching,
+and the real ``bin/train.py`` -> average -> ``bin/decode.py`` chain.  It
+exercises what the 20-utt test cannot: 5k-vocab bucketing distributions,
+real host-loader + device_put overlap (train throughput on the REAL
+pipeline, not a device-resident batch), recipe-size checkpoints, and
+tokenizer coverage — and reports synthetic-WER as a learnability check.
+
+Synthetic speech that is actually learnable: each letter A-Z maps to a
+fixed tone; a word is its letters' tones concatenated (60 ms each), words
+separated by 80 ms silence.  Transcripts are random words from a ~3000
+word lexicon, so WordPiece has real subword structure to find.
+
+The one deliberate deviation from the recipe config: Noam warm_step drops
+from 25000 to 600 (the rehearsal trains ~2k steps, not 600k — with the
+recipe warmup the model would still be at lr~0 when training ends).
+
+Run on the chip (takes ~15-25 min):
+    python tools/recipe_rehearsal.py [--utts 1000] [--epochs 150]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR = 16000
+LETTER_MS = 60
+GAP_MS = 80
+
+
+def _letter_freq(ch: str) -> float:
+    # 26 tones spread 200..3400 Hz on a log scale
+    i = ord(ch) - ord("A")
+    return 200.0 * (3400.0 / 200.0) ** (i / 25.0)
+
+
+def _word_wave(word: str, rng) -> np.ndarray:
+    seg = int(SR * LETTER_MS / 1000)
+    t = np.arange(seg) / SR
+    env = np.hanning(seg)
+    parts = [0.25 * env * np.sin(2 * np.pi * _letter_freq(c) * t
+                                 + rng.uniform(0, 2 * np.pi))
+             for c in word]
+    parts.append(np.zeros(int(SR * GAP_MS / 1000)))
+    return np.concatenate(parts)
+
+
+def gen_corpus(root: str, n_utt: int, lexicon, seed: int):
+    from lasr_tpu.data.flac import write_flac
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    scp, txt, lines = [], [], []
+    for i in range(n_utt):
+        k = int(rng.integers(4, 11))
+        words = [lexicon[int(w)] for w in rng.integers(0, len(lexicon), k)]
+        wav = np.concatenate([_word_wave(w, rng) for w in words])
+        wav = wav + 0.01 * rng.standard_normal(len(wav))
+        pcm16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+        uid = f"spk1-{seed}{i:05d}"
+        p = os.path.join(root, uid + ".flac")
+        write_flac(p, pcm16, SR)
+        scp.append(f"{uid} {p}")
+        txt.append(f"{uid} {' '.join(words)}")
+        lines.append(" ".join(words))
+    with open(os.path.join(root, "wav.scp"), "w") as f:
+        f.write("\n".join(scp) + "\n")
+    with open(os.path.join(root, "text"), "w") as f:
+        f.write("\n".join(txt) + "\n")
+    return lines
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/lasr_rehearsal")
+    ap.add_argument("--utts", type=int, default=1000)
+    ap.add_argument("--dev", type=int, default=48)
+    ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--vocab", type=int, default=5000)
+    ap.add_argument("--lexicon", type=int, default=3000)
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + few utts (CPU wiring check)")
+    args = ap.parse_args()
+    if args.smoke:
+        args.utts, args.dev, args.epochs = 16, 4, 2
+        args.vocab, args.lexicon = 200, 50
+        args.root = args.root + "_smoke"
+
+    import yaml
+    from lasr_tpu.data.tokenizer import HuggingTokenizer
+
+    root = args.root
+    data = os.path.join(root, "data")
+    os.makedirs(root, exist_ok=True)
+
+    rng = np.random.default_rng(7)
+    letters = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+    lexicon = sorted({"".join(letters[rng.integers(0, 26,
+                                                   rng.integers(3, 9))])
+                      for _ in range(args.lexicon * 2)})[: args.lexicon]
+
+    tok_json = os.path.join(data, "tokenizer.json")
+    if not args.skip_gen:
+        t0 = time.time()
+        train_lines = gen_corpus(os.path.join(data, "train"), args.utts,
+                                 lexicon, seed=0)
+        gen_corpus(os.path.join(data, "dev"), args.dev, lexicon, seed=1)
+        corpus = os.path.join(root, "corpus.txt")
+        with open(corpus, "w") as f:
+            f.write("\n".join(train_lines) + "\n")
+        HuggingTokenizer.train_tokenizer([corpus], tok_json,
+                                         vocab_size=args.vocab)
+        print(json.dumps({"stage": "gen", "secs": round(time.time() - t0, 1),
+                          "utts": args.utts}), flush=True)
+    tok = HuggingTokenizer(tok_json)
+    print(json.dumps({"stage": "tokenizer", "vocab": tok.dict_size()}),
+          flush=True)
+
+    # the REAL recipe config with data paths + rehearsal warmup
+    with open(os.path.join(REPO,
+                           "example/asr_en/conf/config_baseline.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["opti_config"]["scheduler"]["kwargs"]["warm_step"] = 600
+    cfg["tokenizer_config"]["kwargs"]["dict_path"] = tok_json
+    if args.smoke:
+        cfg["model_config"]["kwargs"].update(
+            encoder_attention_dim=32, encoder_attention_heads=2,
+            encoder_linear_units=64, encoder_num_blocks=2,
+            decoder_attention_dim=32, decoder_attention_heads=2,
+            decoder_linear_units=64, decoder_num_block=1,
+            encoder_cnn_kernel=7)
+        cfg["opti_config"]["scheduler"]["kwargs"]["warm_step"] = 30
+        for block in ("train_data_config", "valid_data_config"):
+            cfg[block]["kwargs"]["batch_duration"] = 30
+    for split, block in (("train", "train_data_config"),
+                         ("dev", "valid_data_config")):
+        kw = cfg[block]["kwargs"]
+        kw["wav_list"] = [os.path.join(data, split, "wav.scp")]
+        kw["text_list"] = [os.path.join(data, split, "text")]
+    cfg_path = os.path.join(root, "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+    decode_cfg = {
+        "decode_config": {"beam": 10, "ctc_beam": 15, "ctc_weight": 0.5,
+                          "lm_rate": 0.0, "decode_method": "ctc_att",
+                          "maxlenratio": 0.0, "minlenratio": 0.0},
+        "test_data_config": {
+            "name": "lasr_tpu.data.dataset:AudioDataSet",
+            "kwargs": {"wav_list": [os.path.join(data, "dev", "wav.scp")],
+                       "text_list": [os.path.join(data, "dev", "text")],
+                       "audio_trans": ["norm", "fbank:80"]}},
+    }
+    dec_path = os.path.join(root, "decode.yaml")
+    with open(dec_path, "w") as f:
+        yaml.safe_dump(decode_cfg, f, sort_keys=False)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    exp = os.path.join(root, "exp")
+    if not args.skip_train:
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bin/train.py"),
+             "-config", cfg_path, "-exp_dir", exp,
+             "-num_epochs", str(args.epochs), "-num_devices", "1",
+             "-log_interval", "20"],
+            env=env, capture_output=True, text=True)
+        train_s = time.time() - t0
+        sys.stderr.write(r.stdout[-1500:] + r.stderr[-1500:])
+        if r.returncode != 0:
+            sys.exit(r.returncode)
+        # steady-state pipeline throughput between the first and last
+        # train flushes (excludes compile/startup); rows carry utts_cum
+        # and wall_s (trainer.py _flush_metrics)
+        rows = []
+        with open(os.path.join(exp, "metrics.jsonl")) as f:
+            for line in f:
+                row = json.loads(line)
+                if "utts_cum" in row:
+                    rows.append(row)
+        steps = rows[-1]["step"] if rows else 0
+        steady = None
+        if len(rows) >= 2:
+            # utts_cum is the per-flush utterance count; wall_s is global —
+            # sum flushes after the first (which absorbs compile/startup)
+            du = sum(r["utts_cum"] for r in rows[1:])
+            dt_s = rows[-1]["wall_s"] - rows[0]["wall_s"]
+            if dt_s > 0:
+                steady = round(du / dt_s, 1)
+        ckpt_mb = 0
+        for dirpath, _, files in os.walk(os.path.join(exp, "checkpoints")):
+            ckpt_mb += sum(os.path.getsize(os.path.join(dirpath, x))
+                           for x in files)
+        print(json.dumps({
+            "stage": "train", "wall_s": round(train_s, 1),
+            "steps": steps,
+            "epochs": args.epochs,
+            "train_utts_total": args.utts * args.epochs,
+            "pipeline_utts_per_sec": round(args.utts * args.epochs
+                                           / train_s, 1),
+            "steady_utts_per_sec": steady,
+            "ckpt_dir_mb": round(ckpt_mb / 2 ** 20, 1)}), flush=True)
+
+    out_file = os.path.join(root, "hyp.txt")
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin/decode.py"),
+         "-train_config", os.path.join(exp, "hparams.yaml"),
+         "-decode_config", dec_path,
+         "-model_path", os.path.join(exp, "checkpoints"),
+         "-avg", "5", "-choose", "last",
+         "-output_file", out_file],
+        env=env, capture_output=True, text=True)
+    decode_s = time.time() - t0
+    sys.stderr.write(r.stdout[-800:] + r.stderr[-800:])
+    if r.returncode != 0:
+        sys.exit(r.returncode)
+    wer = None
+    for line in r.stdout.splitlines():
+        if "Totol WER is" in line:
+            wer = float(line.split()[-1])
+    # dev audio seconds for RTF
+    from lasr_tpu.data.reader import get_audio_duration, read_scp
+    dev_secs = sum(get_audio_duration(p) for _, p in
+                   read_scp(os.path.join(data, "dev", "wav.scp")))
+    print(json.dumps({"stage": "decode", "wall_s": round(decode_s, 1),
+                      "dev_audio_s": round(dev_secs, 1),
+                      "rtf_incl_compile": round(decode_s / dev_secs, 3),
+                      "synthetic_wer": wer}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
