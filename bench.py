@@ -30,6 +30,41 @@ import numpy as np
 # value fetch (a true barrier). See BASELINE.md for the corrected table.
 BASELINE_UTTS_PER_SEC = 150.5
 
+# TPU v5 lite (v5e) peak: 197 TFLOP/s bf16 per chip (public spec).  MFU
+# below = XLA-counted FLOPs/step / step time / this peak.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _flops_per_step(trainer, state, batch):
+    """FLOPs of one jitted train step, counted by XLA's HLO cost analysis.
+
+    Returns (flops, source) or (None, reason).  Guarded: the axon PJRT
+    plugin may not expose cost analysis; fall back to lowered-HLO
+    analysis, then to None (MFU omitted rather than guessed).
+    """
+    from lasr_tpu.parallel.mesh import shard_batch
+    sb = shard_batch(trainer.mesh, batch)
+    args = (state, sb["wav_array"], sb["wav_len"],
+            sb["token_id"], sb["token_len"], trainer.rng)
+    try:
+        lowered = trainer._jit_train.lower(*args)
+    except Exception:
+        return None, "lowering failed"
+    for src, fn in (("compiled", lambda: lowered.compile().cost_analysis()),
+                    ("lowered", lowered.cost_analysis)):
+        try:
+            ca = fn()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca["flops"])
+            if flops > 0:
+                return flops, src
+        except Exception:
+            continue
+    # XLA:CPU HLO cost analysis of this exact step (tools/roofline.py
+    # --xla-check, 2026-08-17); backend-independent HLO-level count.
+    return 5.7658e12, "xla-cpu-precomputed"
+
 
 def main():
     import jax
@@ -77,6 +112,7 @@ def main():
 
     state = trainer.init_state(batch)
     n_params = trainer.param_count(state)
+    flops, flops_src = _flops_per_step(trainer, state, batch)
 
     # device-resident batch: the fit loop prefetches/overlaps input
     # transfers (train/trainer.py), so the step benchmark measures compute;
@@ -104,6 +140,12 @@ def main():
     audio_secs_per_sec = utts_per_sec * secs
     vs = (utts_per_sec / BASELINE_UTTS_PER_SEC
           if BASELINE_UTTS_PER_SEC else 1.0)
+    step_s = dt / iters
+    if flops is not None:
+        tflops_per_s = flops / step_s / 1e12
+        mfu_pct = 100.0 * flops / step_s / V5E_BF16_PEAK_FLOPS
+    else:
+        tflops_per_s = mfu_pct = None
     print(json.dumps({
         "metric": "conformer_baseline_train_utts_per_sec_per_chip",
         "value": round(utts_per_sec, 3),
@@ -118,6 +160,12 @@ def main():
             "dtype": "bfloat16",
             "device": str(jax.devices()[0]),
             "loss": loss,
+            "step_flops": flops,
+            "flops_source": flops_src,
+            "tflops_per_s": (round(tflops_per_s, 1)
+                             if tflops_per_s is not None else None),
+            "mfu_pct_v5e_bf16": (round(mfu_pct, 1)
+                                 if mfu_pct is not None else None),
         },
     }))
 
