@@ -167,3 +167,26 @@ def test_toy_online_recipe_decodes(tmp_path):
     assert "Totol WER is" in r.stdout
     lines = (exp / "decode_online.txt").read_text().strip().split("\n")
     assert len(lines) == 4
+
+
+def test_toy_online_config_schema():
+    """The shipped streaming recipe config (conf/config_online.yaml) must
+    resolve through the registry to a buildable online model — pins the
+    YAML schema the serving bench (tools/bench_streaming.py
+    --train-config) consumes."""
+    import yaml
+    sys.path.insert(0, REPO)
+    from lasr_tpu.utils.registry import BaseConfig
+    from lasr_tpu.models.e2e_online import E2E_Transformer_CTC_Online
+
+    cfg = yaml.safe_load(
+        open(os.path.join(TOY, "conf", "config_online.yaml")))
+    mc = dict(cfg["model_config"])
+    mc["kwargs"] = dict(mc["kwargs"], odim=31)
+    model = BaseConfig(**mc).generateExample()
+    assert isinstance(model, E2E_Transformer_CTC_Online)
+    assert model.encoder_center_chunk == 16
+    # the other sections parse through the same registry contract
+    for key in ("opti_config", "criterion_config", "tokenizer_config",
+                "train_data_config", "valid_data_config"):
+        assert "name" in cfg[key] and "kwargs" in cfg[key]
