@@ -77,6 +77,8 @@ def main(argv=None):
     from lasr_tpu.decode.lm import build_lm
     lm, lm_weight = build_lm(asr_decode_config)
     bs_decoder = None
+    w2l_decoder = None
+    wfst_decoder = None
     longform = None
     if method in ("ctc_att", "ctc_att_online"):
         decoder = CTCAttBeamDecoder(
@@ -112,6 +114,38 @@ def main(argv=None):
             beam_size=asr_decode_config["beam"],
             ctc_beam=asr_decode_config["ctc_beam"],
             sos=tokenizer.ID_VALUE_SOS, rnn_lm=lm, lm_rate=lm_weight)
+    elif method in ("ctc_kenlm", "ctc_kenlm_lexcoin"):
+        # lexicon + word-n-gram beam search; same config keys as the
+        # reference's (shipped commented-out) dispatch
+        # (decode_lighting.py:101-112), kenlm_model taking the ARPA text
+        import math as _math
+        from lasr_tpu.decode.ctc_w2l import CTC_KenLM_Decoder
+        decoder = None
+        w2l_decoder = CTC_KenLM_Decoder(
+            beam_size=asr_decode_config["beam"],
+            beam_threshold=asr_decode_config.get("beam_threshold", 25.0),
+            lexicon=asr_decode_config["lexicon"],
+            tokens_dict=asr_decode_config["tokens_dict"],
+            kenlm_model=asr_decode_config["kenlm_model"],
+            sos="<eos>", blk="<blank>", unk="<unk>",
+            sil=asr_decode_config.get("sil"),
+            lm_weight=asr_decode_config.get("lm_weight", 2.0),
+            word_score=asr_decode_config.get("word_score", -1.0),
+            unk_score=-_math.inf,
+            sil_score=asr_decode_config.get("sil_score", 0.0),
+            log_add=bool(asr_decode_config.get("log_add", False)))
+    elif method == "wfst":
+        # decoding-graph search (reference Kaldi_Decoder surface,
+        # kaldi_decoder.py:15-33) over a text-format HCLG/TLG
+        from lasr_tpu.decode.wfst import Kaldi_Decoder
+        decoder = None
+        wfst_decoder = Kaldi_Decoder(
+            beam=asr_decode_config.get("wfst_beam", 16.0),
+            max_active=asr_decode_config.get("max_active", 7000),
+            mdl=asr_decode_config.get("mdl"),
+            fst=asr_decode_config["fst"],
+            word=asr_decode_config["word"],
+            acoustic_scale=asr_decode_config.get("acoustic_scale", 0.1))
     elif method == "ctc_greedy":
         decoder = None
     else:
@@ -151,12 +185,35 @@ def main(argv=None):
                           for pfx, sc in cands[:nbest]]  # strip leading sos
                     hyp_ids.append(nb[0][0] if nb else [])
                     nbest_lists.append(nb)
+            elif w2l_decoder is not None:
+                lpz = np.asarray(jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1))
+                lens = np.asarray(hs_len)
+                hyp_ids, nbest_lists = [], []
+                for b in range(len(chunk)):
+                    nb = w2l_decoder.decode_problike(
+                        lpz[b, : int(lens[b])])[:nbest]
+                    hyp_ids.append(nb[0][0] if nb else [])
+                    nbest_lists.append(nb)
+            elif wfst_decoder is not None:
+                lpz = np.asarray(jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1))
+                lens = np.asarray(hs_len)
+                hyp_ids, hyp_texts = [], []
+                for b in range(len(chunk)):
+                    res = wfst_decoder.decode_loglike(
+                        lpz[b, : int(lens[b])])
+                    hyp_ids.append(None)
+                    hyp_texts.append(res["text"])
             else:
                 hyp_ids = ctc_greedy_decode(logits, hs_len)[: len(chunk)]
         for b, item in enumerate(chunk):
             _, ref_id = tokenizer.encode(item["text"])
             _, ref = tokenizer.decode(ref_id, no_special=True)
-            _, hyp = tokenizer.decode(hyp_ids[b], no_special=True)
+            if wfst_decoder is not None:
+                hyp = hyp_texts[b]   # graph emits word strings directly
+            else:
+                _, hyp = tokenizer.decode(hyp_ids[b], no_special=True)
             dist = acc.add(ref, hyp)
             print(f"id {item['id']}\nref: {ref}\nhyp: {hyp}\ndis: {dist}")
             out.write(f"{hyp} ({item['id']})\n")

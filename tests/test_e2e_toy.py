@@ -111,6 +111,78 @@ def test_toy_recipe_end_to_end(tmp_path):
     assert nb and all(line.split()[0].endswith(("-1", "-2"))
                       for line in nb.split("\n"))
 
+    # ---- word-LM decoders from YAML alone (first-party KenLM/WFST
+    # equivalents; the reference ships these commented out of its CLI,
+    # decode_lighting.py:94-114) ----
+    toy_words = ["GO", "STOP", "LEFT", "RIGHT"]
+    char_ids = {c: tok.char_list.index(c)
+                for c in sorted({ch for w in toy_words for ch in w})}
+    space_id = tok.char_list.index(" ")
+    (workdir / "lexicon.txt").write_text(
+        "\n".join(f"{w} {' '.join(w)}" for w in toy_words) + "\n")
+    (workdir / "tokens.txt").write_text(
+        "\n".join([f"{c} {i}" for c, i in char_ids.items()]
+                  + [f"<space> {space_id}"]) + "\n")
+    (workdir / "lm.arpa").write_text(
+        "\\data\\\nngram 1=7\n\n\\1-grams:\n"
+        + "".join(f"-0.7\t{w}\n" for w in toy_words)
+        + "-0.5\t<s>\t0.0\n-0.9\t</s>\n-2.0\t<unk>\n\n\\end\\\n")
+    # hand-built CTC decoding graph: blank/space loops at the start
+    # state, one char chain per word (self-loops for repeated frames)
+    arcs, words_sym = [], ["<eps> 0"]
+    arcs.append("0 0 1 0 0.0")                       # blank loop
+    arcs.append(f"0 0 {space_id + 1} 0 0.0")         # space loop
+    nstate = 1
+    for wi, w in enumerate(toy_words, start=1):
+        words_sym.append(f"{w} {wi}")
+        src = 0
+        for ci, ch in enumerate(w):
+            il = char_ids[ch] + 1
+            ol = wi if ci == 0 else 0
+            arcs.append(f"{src} {nstate} {il} {ol} 0.0")
+            arcs.append(f"{nstate} {nstate} {il} 0 0.0")   # frame repeats
+            arcs.append(f"{nstate} {nstate} 1 0 0.0")      # blank
+            src, nstate = nstate, nstate + 1
+        arcs.append(f"{src} 0 0 0 0.0")              # word end (eps)
+    (workdir / "graph.fst.txt").write_text("\n".join(arcs) + "\n0 0.0\n")
+    (workdir / "words.txt").write_text("\n".join(words_sym) + "\n")
+
+    wordlm_variants = {
+        "ctc_kenlm": {
+            "decode_method": "ctc_kenlm_lexcoin", "beam_threshold": 50.0,
+            "lexicon": str(workdir / "lexicon.txt"),
+            "tokens_dict": str(workdir / "tokens.txt"),
+            "kenlm_model": str(workdir / "lm.arpa"),
+            "lm_weight": 0.5, "word_score": -0.5,
+            "sil": "<space>", "sil_score": 0.0},
+        "wfst": {
+            "decode_method": "wfst", "wfst_beam": 50.0, "max_active": 200,
+            "fst": str(workdir / "graph.fst.txt"),
+            "word": str(workdir / "words.txt"),
+            "acoustic_scale": 1.0},
+    }
+    for name, overrides in wordlm_variants.items():
+        cfg = dict(base_cfg)
+        cfg["decode_config"] = {**base_cfg["decode_config"], **overrides}
+        cfg_path = workdir / "conf" / f"decode_{name}.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bin", "decode.py"),
+             "-train_config", str(exp / "hparams.yaml"),
+             "-decode_config", str(cfg_path),
+             "-model_path", str(exp / "checkpoints"),
+             "-avg", "2", "-choose", "last",
+             "-output_file", str(exp / f"decode_{name}.txt")],
+            cwd=workdir, env=env, capture_output=True, text=True)
+        assert r.returncode == 0, (name, r.stderr[-4000:])
+        assert "Totol WER is" in r.stdout, name
+        lines = (exp / f"decode_{name}.txt").read_text().strip().split("\n")
+        assert len(lines) == 4, name
+        # the lexicon/graph constrains every emitted word to the vocab
+        for line in lines:
+            hyp = line.rsplit("(", 1)[0].split()
+            assert all(wd in toy_words for wd in hyp), (name, line)
+
 
 @pytest.mark.slow
 def test_toy_online_recipe_decodes(tmp_path):
