@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-3 TPU measurement sweep: every pending chip-dependent benchmark,
+# run STRICTLY sequentially (concurrent axon tunnel clients get killed —
+# see the Makefile note), each logged under bench_out/.  One command so
+# the full sweep captures the moment the chip comes back.
+#
+# Usage: bash tools/run_round3_benches.sh [quick]
+#   quick: skip the long recipe rehearsal at the end.
+
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_out
+QUICK="${1:-}"
+
+run() {
+    local name="$1"; shift
+    echo "=== $name: $* (started $(date +%H:%M:%S))" | tee -a bench_out/sweep.log
+    timeout "${STEP_TIMEOUT:-1800}" "$@" > "bench_out/$name.log" 2>&1
+    local rc=$?
+    echo "=== $name: exit $rc ($(date +%H:%M:%S))" | tee -a bench_out/sweep.log
+    tail -3 "bench_out/$name.log" | tee -a bench_out/sweep.log
+}
+
+# 0) is the chip alive? bail early if not
+run tpu_probe python -c "
+from lasr_tpu.utils.env import respect_jax_platforms_env
+respect_jax_platforms_env()
+import jax, jax.numpy as jnp
+print(jax.devices())
+x = jnp.ones((512,512), jnp.bfloat16); print(float((x@x).sum()))"
+grep -q "TPU\|axon" bench_out/tpu_probe.log || { echo "chip not up; aborting"; exit 1; }
+
+# 1) headline train throughput + MFU
+run bench python bench.py
+
+# 2) remat_attend A/B (the prepared copy-elimination vehicle)
+run remat_ab python tools/probe_remat_attend.py --levels 0 1 2
+
+# 3) utts/s vs batch size (verdict item 1c)
+run batch_curve python tools/bench_batch_curve.py --batches 32 48 64 96
+
+# 4) decode RTF with the rotated rel-pos fold
+run decode_rtf python bench_decode.py
+
+# 5) long-form windowed to 30 min
+run longform python tools/bench_longform.py --durations 60,300,600,1800
+
+# 6) streaming serving: single + 4-stream multiplexed
+run streaming python tools/bench_streaming.py --streams 4
+
+# 7) fresh op-level profile (copy attribution for the next perf vehicle)
+run xprof_ops python tools/xprof_ops.py
+
+if [ "$QUICK" != "quick" ]; then
+    # 8) recipe-scale dress rehearsal (long; trains 1k utts on the chip)
+    STEP_TIMEOUT=7200 run rehearsal python tools/recipe_rehearsal.py \
+        --root bench_out/rehearsal
+fi
+
+echo "sweep done $(date +%H:%M:%S)" | tee -a bench_out/sweep.log
