@@ -146,6 +146,10 @@ def main(argv=None):
             fst=asr_decode_config["fst"],
             word=asr_decode_config["word"],
             acoustic_scale=asr_decode_config.get("acoustic_scale", 0.1))
+        if nbest > 1:
+            logging.warning("wfst decoding emits 1-best only; "
+                            "ignoring nbest=%d", nbest)
+            nbest = 1
     elif method == "ctc_greedy":
         decoder = None
     else:
@@ -174,10 +178,13 @@ def main(argv=None):
             hs, hs_len = model.apply(variables, feats, feat_len,
                                      solo_pad=True, method=model.encode)
             logits = model.apply(variables, hs, method=model.ctc_logits)
-            if bs_decoder is not None:
+            host_dp = (bs_decoder is not None or w2l_decoder is not None
+                       or wfst_decoder is not None)
+            if host_dp:
                 lpz = np.asarray(jax.nn.log_softmax(
                     logits.astype(jnp.float32), axis=-1))
                 lens = np.asarray(hs_len)
+            if bs_decoder is not None:
                 hyp_ids, nbest_lists = [], []
                 for b in range(len(chunk)):
                     cands = bs_decoder.decode_problike(lpz[b, : int(lens[b])])
@@ -186,9 +193,6 @@ def main(argv=None):
                     hyp_ids.append(nb[0][0] if nb else [])
                     nbest_lists.append(nb)
             elif w2l_decoder is not None:
-                lpz = np.asarray(jax.nn.log_softmax(
-                    logits.astype(jnp.float32), axis=-1))
-                lens = np.asarray(hs_len)
                 hyp_ids, nbest_lists = [], []
                 for b in range(len(chunk)):
                     nb = w2l_decoder.decode_problike(
@@ -196,9 +200,6 @@ def main(argv=None):
                     hyp_ids.append(nb[0][0] if nb else [])
                     nbest_lists.append(nb)
             elif wfst_decoder is not None:
-                lpz = np.asarray(jax.nn.log_softmax(
-                    logits.astype(jnp.float32), axis=-1))
-                lens = np.asarray(hs_len)
                 hyp_ids, hyp_texts = [], []
                 for b in range(len(chunk)):
                     res = wfst_decoder.decode_loglike(
@@ -219,7 +220,9 @@ def main(argv=None):
             out.write(f"{hyp} ({item['id']})\n")
             if nbest_out is not None:
                 cands = hyps.nbest_ids(b) if hyps is not None \
-                    else (nbest_lists[b] if bs_decoder is not None else [])
+                    else (nbest_lists[b]
+                          if (bs_decoder is not None
+                              or w2l_decoder is not None) else [])
                 for rank, (ids, sc) in enumerate(cands[:nbest]):
                     _, text = tokenizer.decode(ids, no_special=True)
                     nbest_out.write(

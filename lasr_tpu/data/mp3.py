@@ -55,6 +55,11 @@ class _Bits:
         self.pos = pos
 
     def read(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.data):
+            # corrupt/truncated frame: surface as Mp3Error so the frame
+            # loop's skip-bad-frame handler catches it (an IndexError
+            # would crash the whole file read)
+            raise Mp3Error("bitstream exhausted")
         v = 0
         pos = self.pos
         data = self.data
@@ -66,6 +71,8 @@ class _Bits:
         return v
 
     def read1(self) -> int:
+        if self.pos >= 8 * len(self.data):
+            raise Mp3Error("bitstream exhausted")
         byte = self.data[self.pos >> 3]
         bit = (byte >> (7 - (self.pos & 7))) & 1
         self.pos += 1
@@ -328,7 +335,7 @@ def _decode_spectrum(bits, g: _Granule, limit: int, rate: int,
 _POW43 = np.arange(8207, dtype=np.float64) ** (4.0 / 3.0)
 
 
-def _requantize(is_, g: _Granule, rate: int, mixed_long_end: int):
+def _requantize(is_, g: _Granule, rate: int, mpeg1: bool):
     xr = np.zeros(576, np.float64)
     mag = _POW43[np.abs(is_)]
     sign = np.sign(is_).astype(np.float64)
@@ -351,14 +358,18 @@ def _requantize(is_, g: _Granule, rate: int, mixed_long_end: int):
     exps = np.zeros(576)
     pos = 0
     if g.mixed:
-        for sfb in range(8):
-            lo, hi = sfb_l[sfb], sfb_l[sfb + 1]
-            if lo >= 36:
+        # long region of a mixed block: first 8 long sfbs (MPEG-1) or 6
+        # (LSF); both end exactly at sfb_s[3]*3 lines (36, or 72 at
+        # 8 kHz), where the short region picks up — the same split
+        # _reorder_short and _imdct_granule use
+        long_end = sfb_s[3] * 3
+        for sfb in range(8 if mpeg1 else 6):
+            lo, hi = sfb_l[sfb], min(sfb_l[sfb + 1], long_end)
+            if lo >= long_end:
                 break
-            hi = min(hi, 36)
             pre = PRETAB[sfb] if g.preflag else 0
             exps[lo:hi] = 0.25 * gg - sf_mult * (g.scalefac_l[sfb] + pre)
-        pos = 36
+        pos = long_end
         first_short_sfb = 3
     else:
         first_short_sfb = 0
@@ -486,13 +497,16 @@ _I12, _K6 = np.meshgrid(np.arange(12), np.arange(6), indexing="ij")
 _IMDCT12 = np.cos(np.pi / 24 * (2 * _I12 + 1 + 6) * (2 * _K6 + 1))
 
 
-def _imdct_granule(xr, g: _Granule, store):
+def _imdct_granule(xr, g: _Granule, store, n_long_sb: int = 2):
     """xr: 576 spectral values (subband-major).  Returns 576 time samples
-    (18 per subband) and updates the per-subband overlap ``store``."""
+    (18 per subband) and updates the per-subband overlap ``store``.
+    ``n_long_sb``: subbands using the long window in a mixed block
+    (sfb_s[3]*3 / 18 — 2 normally, 4 for the 8 kHz LSF tables)."""
     out = np.empty(576)
     for sb in range(32):
         X = xr[18 * sb: 18 * sb + 18]
-        short = g.wsf and g.block_type == 2 and (not g.mixed or sb >= 2)
+        short = g.wsf and g.block_type == 2 \
+            and (not g.mixed or sb >= n_long_sb)
         if short:
             z = np.zeros(36)
             for w in range(3):
@@ -675,7 +689,7 @@ def _decode_frame(h: _FrameHeader, side: bytes, main_data: bytes,
                 _read_scalefactors_lsf(
                     bits, g, intensity and ch == 1)
             is_ = _decode_spectrum(bits, g, limit, h.rate, h.mpeg1)
-            xr = _requantize(is_, g, h.rate, 36)
+            xr = _requantize(is_, g, h.rate, h.mpeg1)
             xr = _reorder_short(xr, g, h.rate)
             xrs.append(xr)
         if h.nch == 2:
@@ -688,15 +702,16 @@ def _decode_frame(h: _FrameHeader, side: bytes, main_data: bytes,
         for ch in range(h.nch):
             g = granules[gr][ch]
             xr = xrs[ch]
+            mixed_sb = (SFB_SHORT[h.rate][3] * 3) // 18
             if g.wsf and g.block_type == 2 and not g.mixed:
                 nal = 0
             elif g.wsf and g.block_type == 2 and g.mixed:
-                nal = 2
+                nal = mixed_sb
             else:
                 nal = 32
             if nal:
                 xr = _alias_reduce(xr, nal)
-            ts = _imdct_granule(xr, g, stores[ch])
+            ts = _imdct_granule(xr, g, stores[ch], n_long_sb=mixed_sb)
             ts = _freq_invert(ts)
             pcm = synths[ch].run(ts.reshape(32, 18).T)
             out[gr * 576: (gr + 1) * 576, ch] = pcm.reshape(-1)
@@ -713,13 +728,23 @@ def mp3_info(path) -> Tuple[int, int, int]:
     samples = 0
     while pos + 4 <= len(data):
         h = _parse_header(data[pos:])
-        if h is None:
+        # apply the same frame-fits and next-frame-sync validation as
+        # read_mp3, so probed durations match what decode produces on
+        # truncated files / embedded false syncs
+        if h is None or pos + h.frame_bytes > len(data):
             pos += 1
             continue
+        nxt = pos + h.frame_bytes
+        if nxt + 1 < len(data) and not (data[nxt] == 0xFF
+                                        and (data[nxt + 1] & 0xE0)
+                                        == 0xE0):
+            if nxt < len(data) - 128 - 1:   # allow the final frame
+                pos += 1
+                continue
         if rate is None:
             rate, nch = h.rate, h.nch
         samples += 1152 if h.mpeg1 else 576
-        pos += max(h.frame_bytes, 4)
+        pos += h.frame_bytes
     if rate is None:
         raise Mp3Error("no Layer III frames found")
     return rate, nch, samples

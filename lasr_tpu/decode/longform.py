@@ -84,6 +84,13 @@ class LongFormCTCAttDecoder:
         longer than one window + halos encode windowed, shorter ones take
         the plain full forward.  ``encoder_halo_frames``: attention
         context kept on each side of a window (128 enc frames ~ 5 s)."""
+        if encoder_halo_frames < 1:
+            # halo 0 makes each window yield one fewer center frame than
+            # claimed (the stride-4 conv margin needs >=1 halo frame),
+            # which would trip the stitching assert mid-decode — reject
+            # at construction instead
+            raise ValueError("encoder_halo_frames must be >= 1 "
+                             f"(got {encoder_halo_frames})")
         self.dec = decoder
         self.segment_frames = segment_frames
         self.window_frames = window_frames

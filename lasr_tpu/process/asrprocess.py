@@ -46,6 +46,8 @@ class ASRProcess:
         self.method = cfg.get("decode_method", "ctc_att")
         self.decoder = None
         self.bs_decoder = None
+        self.w2l_decoder = None
+        self.wfst_decoder = None
         if self.method in ("ctc_att", "ctc_att_online"):
             self.decoder = CTCAttBeamDecoder(
                 self.model, self.variables,
@@ -74,6 +76,28 @@ class ASRProcess:
                 ctc_beam=cfg.get("ctc_beam", 15),
                 sos=self.tokenizer.ID_VALUE_SOS, rnn_lm=lm,
                 lm_rate=lm_weight)
+        elif self.method in ("ctc_kenlm", "ctc_kenlm_lexcoin"):
+            import math as _math
+            from lasr_tpu.decode.ctc_w2l import CTC_KenLM_Decoder
+            self.w2l_decoder = CTC_KenLM_Decoder(
+                beam_size=cfg.get("beam", 10),
+                beam_threshold=cfg.get("beam_threshold", 25.0),
+                lexicon=cfg["lexicon"], tokens_dict=cfg["tokens_dict"],
+                kenlm_model=cfg["kenlm_model"],
+                sos="<eos>", blk="<blank>", unk="<unk>",
+                sil=cfg.get("sil"),
+                lm_weight=cfg.get("lm_weight", 2.0),
+                word_score=cfg.get("word_score", -1.0),
+                unk_score=-_math.inf,
+                sil_score=cfg.get("sil_score", 0.0),
+                log_add=bool(cfg.get("log_add", False)))
+        elif self.method == "wfst":
+            from lasr_tpu.decode.wfst import Kaldi_Decoder
+            self.wfst_decoder = Kaldi_Decoder(
+                beam=cfg.get("wfst_beam", 16.0),
+                max_active=cfg.get("max_active", 7000),
+                mdl=cfg.get("mdl"), fst=cfg["fst"], word=cfg["word"],
+                acoustic_scale=cfg.get("acoustic_scale", 0.1))
         elif self.method != "ctc_greedy":
             raise ValueError(f"unknown decode_method {self.method!r}")
 
@@ -105,6 +129,17 @@ class ASRProcess:
                 logits.astype(jnp.float32), axis=-1))[0, : int(hs_len[0])]
             cands = self.bs_decoder.decode_problike(lpz)
             return list(cands[0][0][1:]) if cands else []
+        if self.w2l_decoder is not None:
+            lpz = np.asarray(jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1))[0, : int(hs_len[0])]
+            nb = self.w2l_decoder.decode_problike(lpz)
+            return nb[0][0] if nb else []
+        if self.wfst_decoder is not None:
+            lpz = np.asarray(jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1))[0, : int(hs_len[0])]
+            # the graph emits word strings, not token ids — __call__
+            # special-cases this return
+            return self.wfst_decoder.decode_loglike(lpz)["text"]
         from lasr_tpu.decode.greedy import ctc_greedy_decode
         return ctc_greedy_decode(logits, hs_len)[0]
 
@@ -114,4 +149,6 @@ class ASRProcess:
     def __call__(self, wav_path: str) -> Tuple[List[str], str]:
         wav, n = self.frontend_wave(wav_path)
         ids = self.model_forward(wav, n)
+        if self.wfst_decoder is not None:   # word text, not token ids
+            return ids.split(), ids
         return self.backend(ids)

@@ -146,3 +146,36 @@ def test_mp3_through_fbank_gate(tmp_path):
     audible = golden > (golden.max(axis=1, keepdims=True) - 15.0)
     assert err[audible].max() < 1e-3
     assert err.max() < 5e-3
+
+
+def test_corrupt_frame_skipped_not_crash(tmp_path):
+    """A frame whose huffman data runs past the bitstream must raise
+    Mp3Error inside the frame loop (skipped), never IndexError
+    (code-review r3: unbounded big-values loop crashed read_audio on
+    corrupt/truncated files)."""
+    import numpy as np
+    from lasr_tpu.data.mp3 import _Bits, Mp3Error
+    import pytest as _pytest
+    b = _Bits(b"\xff", 0)
+    with _pytest.raises(Mp3Error):
+        b.read(16)
+    b = _Bits(b"", 0)
+    with _pytest.raises(Mp3Error):
+        b.read1()
+
+
+def test_mp3_info_matches_decode_on_truncated(tmp_path):
+    """mp3_info must apply read_mp3's frame validation so probed
+    durations match decoded frame counts on truncated files
+    (code-review r3: the probe used to count the final partial frame
+    read_mp3 skips)."""
+    sr = 16000
+    data = lame_encode(_tone(sr, dur=1.0, noise=0.1), sr, bitrate=64)
+    cut = tmp_path / "cut.mp3"
+    cut.write_bytes(data[: len(data) - len(data) // 4])
+    pcm, rate = read_mp3(str(cut))
+    rate2, nch, samples = mp3_info(str(cut))
+    assert rate2 == rate
+    # info counts per-frame samples; decode may additionally skip
+    # reservoir warm-up frames it could not decode — allow that slack
+    assert 0 <= samples - len(pcm) <= 4 * 1152
