@@ -22,6 +22,13 @@ def main(argv=None):
     parser.add_argument("-config", required=True)
     parser.add_argument("-num_devices", default=-1, type=int,
                         help="mesh data-axis size; -1 = all local devices")
+    parser.add_argument("-model_parallel", default=1, type=int,
+                        help="mesh model-axis size (tensor parallelism; "
+                             "params partition per parallel/sharding.py)")
+    parser.add_argument("-seq_parallel", default=1, type=int,
+                        help="mesh seq-axis size (sequence parallelism: "
+                             "encoder activations shard their time dim — "
+                             "stretch-config memory scaling)")
     parser.add_argument("-num_epochs", default=50, type=int)
     parser.add_argument("-fp16", default=32, type=int,
                         help="32 = float32 compute; 16 = bfloat16 compute")
@@ -74,8 +81,11 @@ def main(argv=None):
 
     tokenizer = BaseConfig(**tokenizer_config).generateExample()
 
-    n_dev = len(jax.devices()) if args.num_devices < 0 else args.num_devices
-    mesh = make_mesh(data=n_dev, devices=jax.devices()[:n_dev])
+    mp, sp = args.model_parallel, args.seq_parallel
+    n_dev = (len(jax.devices()) // (mp * sp) if args.num_devices < 0
+             else args.num_devices)
+    mesh = make_mesh(data=n_dev, model=mp, seq=sp,
+                     devices=jax.devices()[:n_dev * mp * sp])
 
     # batch dim must divide over the mesh data axis
     for dc in (train_data_config, valid_data_config):
@@ -104,7 +114,7 @@ def main(argv=None):
         model, criterion, optimizer_tx, frontend, tokenizer=tokenizer,
         exp_dir=args.exp_dir, schedule=schedule, mesh=mesh,
         use_ema=args.ema == 1, acc_grads=args.acc_grads, seed=args.seed,
-        log_interval=args.log_interval)
+        log_interval=args.log_interval, partition_params=mp > 1)
 
     logging.info("loading + checking data")
     train_dataset.load_check_data()

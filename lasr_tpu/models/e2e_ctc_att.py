@@ -210,6 +210,10 @@ class E2E_Conformer_CTC(E2EBase):
     encoder_use_pallas_attention: bool = False
     encoder_remat_attend: int = 0   # see MultiHeadedAttention.remat_attend
     encoder_scan_layers: bool = False
+    # sequence parallelism: NamedSharding for encoder activations over a
+    # (data, seq) mesh; injected by Trainer when the mesh has a seq axis
+    # (parallel/mesh.py seq_sharding), not a YAML-visible knob
+    encoder_act_sharding: object = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -234,6 +238,7 @@ class E2E_Conformer_CTC(E2EBase):
             use_pallas_attention=self.encoder_use_pallas_attention,
             remat_attend=self.encoder_remat_attend,
             scan_layers=self.encoder_scan_layers,
+            act_sharding=self.encoder_act_sharding,
             dtype=self.dtype)
         self.decoder = Decoder(
             odim=self.odim,

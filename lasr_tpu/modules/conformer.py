@@ -77,6 +77,11 @@ class ConformerEncoderLayer(nn.Module):
     use_pallas_attention: bool = False
     remat_attend: int = 0
     rot_fold: bool = False   # see RelPositionMultiHeadedAttention.rot_fold
+    # sequence parallelism: a NamedSharding (batch over 'data', time over
+    # 'seq') re-asserted at every block boundary so XLA keeps activations
+    # time-sharded across the stack (gathers for attention, halo
+    # exchanges for the conv module ride ICI); None = no constraint
+    act_sharding: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     def _positionwise(self, name):
@@ -97,6 +102,9 @@ class ConformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, pos_emb=None, deterministic: bool = True,
                  conv_zero_mask=None, pos_table=None):
+        if self.act_sharding is not None:
+            from lasr_tpu.parallel.mesh import constrain_divisible
+            x = constrain_divisible(x, self.act_sharding)
         drop = nn.Dropout(self.dropout_rate)
         ff_scale = 0.5 if self.macaron_style else 1.0
 
@@ -196,6 +204,7 @@ class _ScanConformerLayer(nn.Module):
     remat_attend: int = 0
     rot_fold: bool = False
     remat: bool = False
+    act_sharding: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -211,7 +220,7 @@ class _ScanConformerLayer(nn.Module):
             self.use_cnn_module, self.cnn_module_kernel,
             self.normalize_before, self.concat_after,
             self.use_pallas_attention, remat_attend=self.remat_attend,
-            rot_fold=self.rot_fold,
+            rot_fold=self.rot_fold, act_sharding=self.act_sharding,
             dtype=self.dtype, name="block")
         x = layer(carry.x, mask, pos_emb, carry.deterministic, conv_zero_mask,
                   pos_table)
@@ -250,6 +259,9 @@ class ConformerEncoder(nn.Module):
     # XLA compile time ~num_blocks-fold and — critically — means a single
     # Mosaic compilation when use_pallas_attention is on
     scan_layers: bool = False
+    # sequence parallelism: NamedSharding for (B, T, D) activations,
+    # re-asserted at every block (see ConformerEncoderLayer.act_sharding)
+    act_sharding: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     def _pos_enc(self):
@@ -301,6 +313,7 @@ class ConformerEncoder(nn.Module):
             remat_attend=self.remat_attend,
             rot_fold=(self.rot_fold
                       and self.pos_enc_layer_type == "rel_pos"),
+            act_sharding=self.act_sharding,
             dtype=self.dtype)
         if self.scan_layers:
             scanned = nn.scan(

@@ -18,21 +18,56 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None, seq: int = 1) -> Mesh:
+    """(data, seq, model) mesh.  ``seq`` (default 1 — a no-op axis) holds
+    sequence parallelism for the stretch configs: encoder activations
+    shard their time dim over it (see ``seq_sharding`` and
+    ConformerEncoderLayer.act_sharding); XLA's SPMD partitioner inserts
+    the halo exchanges (conv) and gathers (attention) over ICI."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devices) // model
-    n = data * model
+        data = len(devices) // (model * seq)
+    n = data * model * seq
     if n > len(devices):
-        raise ValueError(f"mesh {data}x{model} needs {n} devices, "
+        raise ValueError(f"mesh {data}x{seq}x{model} needs {n} devices, "
                          f"have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+    arr = np.asarray(devices[:n]).reshape(data, seq, model)
+    return Mesh(arr, axis_names=("data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading batch dim over the data axis."""
     return NamedSharding(mesh, P("data"))
+
+
+def seq_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """(B, T, ...) activation sharding: batch over 'data', time over
+    'seq'.  None when the mesh has no seq axis (or it is trivial)."""
+    if mesh.shape.get("seq", 1) <= 1:
+        return None
+    return NamedSharding(mesh, P("data", "seq"))
+
+
+def constrain_divisible(x, sharding: NamedSharding):
+    """with_sharding_constraint, dropping per-dim axes the shape cannot
+    honour (pjit requires divisibility; e.g. the 1-row init_state batch
+    cannot shard 2-way on dim 0 — those dims replicate instead)."""
+    import jax
+
+    mesh = sharding.mesh
+    names = list(sharding.spec) + [None] * (x.ndim - len(sharding.spec))
+
+    def axis_size(name):
+        if isinstance(name, tuple):
+            n = 1
+            for a in name:
+                n *= mesh.shape[a]
+            return n
+        return mesh.shape[name]
+
+    spec = P(*[(n if n is not None and x.shape[i] % axis_size(n) == 0
+                else None) for i, n in enumerate(names)])
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

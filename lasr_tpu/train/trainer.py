@@ -58,13 +58,21 @@ class Trainer:
                  seed: int = 0, log_interval: int = 50,
                  checkpoint_keep: int = 10,
                  partition_params: bool = False):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        if (self.mesh.shape.get("seq", 1) > 1
+                and getattr(model, "encoder_act_sharding", "absent") is None):
+            # sequence parallelism: re-assert (data, seq) activation
+            # sharding at every encoder block so XLA keeps the time dim
+            # sharded through the stack (stretch-config memory scaling)
+            from lasr_tpu.parallel.mesh import seq_sharding
+            model = model.clone(
+                encoder_act_sharding=seq_sharding(self.mesh))
         self.model = model
         self.criterion = criterion
         self.frontend = frontend
         self.tokenizer = tokenizer
         self.exp_dir = exp_dir
         self.schedule = schedule
-        self.mesh = mesh if mesh is not None else make_mesh()
         self.use_ema = use_ema
         self.ema_decay = ema_decay
         self.acc_grads = acc_grads
@@ -575,30 +583,48 @@ def average_checkpoints(directory: str, ids: str = "last", num: int = 5
     Non-float leaves (e.g. EMA num_updates counters) keep the newest
     checkpoint's value untouched.
     """
+    import jax.tree_util as jtu
     import orbax.checkpoint as ocp
-    with ocp.CheckpointManager(os.path.abspath(directory)) as mgr:
+    root = os.path.abspath(directory)
+    with ocp.CheckpointManager(root) as mgr:
         steps = sorted(mgr.all_steps(), reverse=True)[:num]
-        if not steps:
-            raise FileNotFoundError(f"no checkpoints under {directory}")
-        avg = None
-        for s in steps:
-            tree = mgr.restore(s)
-            tree = {k: tree[k] for k in ("params", "ema", "batch_stats")
-                    if k in tree and tree[k]}
-            if avg is None:
-                avg = jax.tree.map(lambda x: np.asarray(x, dtype=np.float64)
-                                   if np.issubdtype(np.asarray(x).dtype,
-                                                    np.floating)
-                                   else np.asarray(x), tree)
-            else:
-                avg = jax.tree.map(
-                    lambda a, x: a + x if np.issubdtype(a.dtype, np.floating)
-                    else a, avg, tree)
-        k = len(steps)
-        avg = jax.tree.map(
-            lambda a: (a / k).astype(np.float32)
-            if np.issubdtype(a.dtype, np.floating) else a, avg)
-        return avg
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    step_dirs = {int(n): n for n in os.listdir(root) if n.isdigit()}
+
+    def _restore_host(path):
+        """Restore to host numpy, ignoring the shardings the checkpoint
+        was saved with — decode/averaging must work on any topology
+        (e.g. a single chip restoring a dp x seq x model training mesh)."""
+        with ocp.PyTreeCheckpointer() as ckptr:
+            im = ckptr.metadata(path).item_metadata
+            leaves, treedef = jtu.tree_flatten({k: im[k] for k in im})
+            ra = jtu.tree_unflatten(
+                treedef,
+                [ocp.RestoreArgs(restore_type=np.ndarray)] * len(leaves))
+            return ckptr.restore(path,
+                                 args=ocp.args.PyTreeRestore(restore_args=ra))
+
+    avg = None
+    for s in steps:
+        tree = _restore_host(
+            os.path.join(root, step_dirs.get(s, str(s)), "default"))
+        tree = {k: tree[k] for k in ("params", "ema", "batch_stats")
+                if k in tree and tree[k]}
+        if avg is None:
+            avg = jax.tree.map(lambda x: np.asarray(x, dtype=np.float64)
+                               if np.issubdtype(np.asarray(x).dtype,
+                                                np.floating)
+                               else np.asarray(x), tree)
+        else:
+            avg = jax.tree.map(
+                lambda a, x: a + x if np.issubdtype(a.dtype, np.floating)
+                else a, avg, tree)
+    k = len(steps)
+    avg = jax.tree.map(
+        lambda a: (a / k).astype(np.float32)
+        if np.issubdtype(a.dtype, np.floating) else a, avg)
+    return avg
 
 
 def load_averaged_params(model_path: str, choose: str = "last", avg: int = 5):

@@ -425,3 +425,54 @@ def test_kill_and_resume_reproduces_unkilled_run(toy, tmp_path):
     for a, b in zip(fa, fb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_sequence_parallel_step_matches_single_device(toy):
+    """2x2x2 (data x seq x model) mesh: encoder activations time-sharded
+    over 'seq' (Trainer auto-injects the constraint), params TP-sharded,
+    and the step numerics match a single device."""
+    from jax.sharding import PartitionSpec as P
+    from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
+    from lasr_tpu.train.optimizer import Adam, WarmupScheduler
+    root, tok, ds = toy
+    batch = next(iter(ds.batches()))
+
+    def build():
+        model = E2E_Conformer_CTC(
+            idim=80, odim=tok.dict_size(),
+            encoder_attention_dim=32, encoder_attention_heads=2,
+            encoder_linear_units=64, encoder_num_blocks=2,
+            decoder_attention_dim=32, decoder_attention_heads=2,
+            decoder_linear_units=64, decoder_num_block=1,
+            encoder_pos_enc_layer_type="rel_pos",
+            encoder_selfattention_layer_type="rel_selfattn",
+            encoder_cnn_kernel=7,
+            encoder_dropout_rate=0.0, decoder_dropout_rate=0.0,
+            ctc_dropout=0.0)
+        crit = E2E_Loss(size=tok.dict_size(), padding_idx=-1,
+                        smoothing=0.1, rate=0.3)
+        sched = WarmupScheduler(model_size=32, factor=1.0, warm_step=20)
+        fe = DeviceFrontend(["norm", "fbank:80", "specaug"])
+        return model, crit, Adam(betas=(0.9, 0.98)).make(sched), sched, fe
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    m, c, tx, sched, fe = build()
+    from lasr_tpu.train.trainer import Trainer
+    tr_sp = Trainer(m, c, tx, fe, tokenizer=tok, schedule=sched, mesh=mesh,
+                    partition_params=True, log_interval=100)
+    # the trainer cloned the model with the seq activation sharding
+    assert tr_sp.model.encoder_act_sharding is not None
+    assert tr_sp.model.encoder_act_sharding.spec == P("data", "seq")
+    s_sp = tr_sp.init_state(batch)
+
+    m1, c1, tx1, sched1, fe1 = build()
+    tr_1 = Trainer(m1, c1, tx1, fe1, tokenizer=tok, schedule=sched1,
+                   mesh=make_mesh(data=1, devices=jax.devices()[:1]),
+                   log_interval=100)
+    s_1 = tr_1.init_state(batch)
+
+    for _ in range(2):
+        s_sp, m_sp = tr_sp.train_step(s_sp, batch)
+        s_1, m_1 = tr_1.train_step(s_1, batch)
+    np.testing.assert_allclose(float(m_sp["loss_main"]),
+                               float(m_1["loss_main"]), rtol=2e-4)
