@@ -133,7 +133,8 @@ def main(argv=None):
             word_score=asr_decode_config.get("word_score", -1.0),
             unk_score=-_math.inf,
             sil_score=asr_decode_config.get("sil_score", 0.0),
-            log_add=bool(asr_decode_config.get("log_add", False)))
+            log_add=bool(asr_decode_config.get("log_add", False)),
+            beam_size_token=asr_decode_config.get("beam_size_token"))
     elif method == "wfst":
         # decoding-graph search (reference Kaldi_Decoder surface,
         # kaldi_decoder.py:15-33) over a text-format HCLG/TLG

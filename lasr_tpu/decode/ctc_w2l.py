@@ -112,9 +112,14 @@ class CTC_KenLM_Decoder:
                  unk: str = "<unk>", sil: Optional[str] = None,
                  lm_weight: float = 2.0, word_score: float = -1.0,
                  unk_score: float = -math.inf, sil_score: float = 0.0,
-                 log_add: bool = False):
+                 log_add: bool = False,
+                 beam_size_token: Optional[int] = None):
         self.beam_size = beam_size
         self.beam_threshold = beam_threshold
+        # flashlight LexiconDecoderOptions arg 2: only the top-K tokens
+        # by AM score expand at each frame (None/0 = all; the reference
+        # passes len(tokens_dict), i.e. unrestricted)
+        self.beam_size_token = beam_size_token
         self.lm_weight = lm_weight
         self.word_score = word_score
         self.unk_score = unk_score
@@ -188,7 +193,11 @@ class CTC_KenLM_Decoder:
         root = self.trie.root
         hyps = [_Hyp(0.0, root, self.lm.start(), -1, (), (), 0.0)]
 
+        topk = self.beam_size_token
         for t in range(T):
+            allowed = None
+            if topk and topk < V:
+                allowed = set(np.argpartition(lp[t], -topk)[-topk:].tolist())
             table: dict = {}
             for h in hyps:
                 # 1) blank: trie position and lm state survive
@@ -210,6 +219,8 @@ class CTC_KenLM_Decoder:
                 # 4) descend into trie children
                 for tok, child in h.node.children.items():
                     if tok == h.prev:   # repeated label needs a blank gap
+                        continue
+                    if allowed is not None and tok not in allowed:
                         continue
                     base = h.score + lp[t, tok] + self.lm_weight * (
                         child.max_score - h.node.max_score)

@@ -90,7 +90,8 @@ class ASRProcess:
                 word_score=cfg.get("word_score", -1.0),
                 unk_score=-_math.inf,
                 sil_score=cfg.get("sil_score", 0.0),
-                log_add=bool(cfg.get("log_add", False)))
+                log_add=bool(cfg.get("log_add", False)),
+                beam_size_token=cfg.get("beam_size_token"))
         elif self.method == "wfst":
             from lasr_tpu.decode.wfst import Kaldi_Decoder
             self.wfst_decoder = Kaldi_Decoder(

@@ -327,3 +327,28 @@ class TestWfstDecoder:
         for t, k in enumerate([0, 2, 1, 2]):   # a blank b blank, remapped
             ll[t, k] = 0.0
         assert dec.decode_loglike(ll)["text"] == "hello"
+
+
+class TestBeamSizeToken:
+    def test_topk_pruning_keeps_planted_result(self, tmp_path):
+        """flashlight's beam_size_token (top-K tokens by AM score per
+        frame): with the planted tokens in the top K, the result matches
+        the unpruned search."""
+        lex = tmp_path / "lexicon.txt"
+        lex.write_text("hello a b\nworld b c\n")
+        (tmp_path / "tokens.txt").write_text("a 1\nb 2\nc 3\n")
+        (tmp_path / "lm.arpa").write_text(ARPA)
+        kw = dict(beam_size=64, beam_threshold=1e9,
+                  lexicon=str(lex), tokens_dict=str(tmp_path / "tokens.txt"),
+                  kenlm_model=str(tmp_path / "lm.arpa"),
+                  lm_weight=1.5, word_score=-0.5)
+        rng = np.random.default_rng(0)
+        plant = [1, 0, 2, 0, 2, 3, 0]
+        logits = rng.standard_normal((len(plant), 5))
+        for t, k in enumerate(plant):
+            logits[t, k] += 4.0
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        full = CTC_KenLM_Decoder(**kw).decode_problike(lp)
+        pruned = CTC_KenLM_Decoder(beam_size_token=2, **kw).decode_problike(lp)
+        assert pruned[0][0] == full[0][0]
+        assert pruned[0][1] == pytest.approx(full[0][1], abs=1e-6)

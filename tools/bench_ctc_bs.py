@@ -45,6 +45,54 @@ def synth_posteriors(T, V, kind, rng, peak=6.0):
     return p
 
 
+def bench_w2l(args, T):
+    """RTF of the lexicon+word-LM beam (decode/ctc_w2l.py) at recipe
+    scale: synthetic 3k-word lexicon over the BPE vocab, bigram ARPA,
+    with and without flashlight's beam_size_token AM pruning."""
+    import tempfile
+
+    rng = np.random.default_rng(0)
+    d = tempfile.mkdtemp()
+    V = args.vocab
+    n_words, max_spell = 3000, 5
+    words = [f"w{i}" for i in range(n_words)]
+    with open(f"{d}/lexicon.txt", "w") as f:
+        for w in words:
+            sp = rng.integers(1, V, rng.integers(2, max_spell + 1))
+            f.write(w + " " + " ".join(f"t{t}" for t in sp) + "\n")
+    with open(f"{d}/tokens.txt", "w") as f:
+        f.write("\n".join(f"t{i} {i}" for i in range(1, V)) + "\n")
+    with open(f"{d}/lm.arpa", "w") as f:
+        f.write("\\data\\\nngram 1=%d\n\n\\1-grams:\n" % (n_words + 3))
+        for w in words:
+            f.write(f"-3.5\t{w}\t-0.5\n")
+        f.write("-0.5\t<s>\t-0.5\n-1.0\t</s>\n-5.0\t<unk>\n\n\\end\\\n")
+
+    from lasr_tpu.decode.ctc_w2l import CTC_KenLM_Decoder
+    out = {}
+    for label, tok_k in (("full", None), ("topk40", 40)):
+        dec = CTC_KenLM_Decoder(
+            beam_size=args.beam, beam_threshold=25.0,
+            lexicon=f"{d}/lexicon.txt", tokens_dict=f"{d}/tokens.txt",
+            kenlm_model=f"{d}/lm.arpa", lm_weight=2.0, word_score=-1.0,
+            beam_size_token=tok_k)
+        for kind in ("peaked", "uniform"):
+            posts = [synth_posteriors(T, V, kind, rng)
+                     for _ in range(max(2, args.utts // 2))]
+            lp = [np.log(np.maximum(p, 1e-300)) for p in posts]
+            dec.decode_problike(lp[0])
+            t0 = time.perf_counter()
+            for x in lp:
+                dec.decode_problike(x)
+            dt = (time.perf_counter() - t0) / len(lp)
+            out[f"{label}_{kind}"] = dict(
+                dp_s_per_utt=round(dt, 3),
+                dp_rtf=round(dt / args.secs, 4))
+            print(f"w2l {label:7s} {kind:8s}: {out[f'{label}_{kind}']}")
+    print(json.dumps(dict(metric="ctc_w2l_dp_rtf", secs=args.secs, T=T,
+                          words=n_words, **out)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--secs", type=float, default=10.0)
@@ -52,6 +100,8 @@ def main():
     ap.add_argument("--beam", type=int, default=10)
     ap.add_argument("--ctc-beam", type=int, default=15)
     ap.add_argument("--utts", type=int, default=8)
+    ap.add_argument("--w2l", action="store_true",
+                    help="also bench the lexicon+word-LM beam decoder")
     args = ap.parse_args()
 
     # encoder frames for `secs` of 16 kHz audio: fbank 10 ms hop, /4 subsample
@@ -78,6 +128,8 @@ def main():
               f"ctc_beam={args.ctc_beam}: {out[kind]}")
     print(json.dumps(dict(metric="ctc_bs_dp_rtf", secs=args.secs, T=T,
                           **out)))
+    if args.w2l:
+        bench_w2l(args, T)
 
 
 if __name__ == "__main__":
