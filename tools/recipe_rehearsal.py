@@ -94,6 +94,11 @@ def main():
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny model + few utts (CPU wiring check)")
+    ap.add_argument("--online", action="store_true",
+                    help="train the production-size STREAMING model "
+                         "(chunked encoder) instead of the offline "
+                         "conformer — produces the trained checkpoint "
+                         "tools/bench_streaming.py --train-config wants")
     args = ap.parse_args()
     if args.smoke:
         args.utts, args.dev, args.epochs = 16, 4, 2
@@ -136,13 +141,33 @@ def main():
         cfg = yaml.safe_load(f)
     cfg["opti_config"]["scheduler"]["kwargs"]["warm_step"] = 600
     cfg["tokenizer_config"]["kwargs"]["dict_path"] = tok_json
+    if args.online:
+        # production-size streaming model (the serving bench's scale)
+        cfg["model_config"] = {
+            "name": "lasr_tpu.models.e2e_online:E2E_Transformer_CTC_Online",
+            "kwargs": dict(
+                idim=80, odim=0,
+                encoder_attention_dim=320, encoder_attention_heads=8,
+                encoder_linear_units=2048, encoder_num_blocks=12,
+                encoder_left_chunk=64, encoder_center_chunk=64,
+                encoder_right_chunk=64,
+                decoder_attention_dim=320, decoder_self_attention_heads=8,
+                decoder_src_attention_heads=8, decoder_linear_units=2048,
+                decoder_num_block=6)}
     if args.smoke:
-        cfg["model_config"]["kwargs"].update(
+        small = dict(
             encoder_attention_dim=32, encoder_attention_heads=2,
             encoder_linear_units=64, encoder_num_blocks=2,
-            decoder_attention_dim=32, decoder_attention_heads=2,
-            decoder_linear_units=64, decoder_num_block=1,
-            encoder_cnn_kernel=7)
+            decoder_attention_dim=32, decoder_linear_units=64,
+            decoder_num_block=1)
+        if args.online:
+            small.update(decoder_self_attention_heads=2,
+                         decoder_src_attention_heads=2,
+                         encoder_left_chunk=8, encoder_center_chunk=8,
+                         encoder_right_chunk=8)
+        else:
+            small.update(decoder_attention_heads=2, encoder_cnn_kernel=7)
+        cfg["model_config"]["kwargs"].update(small)
         cfg["opti_config"]["scheduler"]["kwargs"]["warm_step"] = 30
         for block in ("train_data_config", "valid_data_config"):
             cfg[block]["kwargs"]["batch_duration"] = 30
@@ -157,7 +182,9 @@ def main():
 
     decode_cfg = {
         "decode_config": {"beam": 10, "ctc_beam": 15, "ctc_weight": 0.5,
-                          "lm_rate": 0.0, "decode_method": "ctc_att",
+                          "lm_rate": 0.0,
+                          "decode_method": ("ctc_att_online" if args.online
+                                            else "ctc_att"),
                           "maxlenratio": 0.0, "minlenratio": 0.0},
         "test_data_config": {
             "name": "lasr_tpu.data.dataset:AudioDataSet",
@@ -240,7 +267,10 @@ def main():
     print(json.dumps({"stage": "decode", "wall_s": round(decode_s, 1),
                       "dev_audio_s": round(dev_secs, 1),
                       "rtf_incl_compile": round(decode_s / dev_secs, 3),
-                      "synthetic_wer": wer}), flush=True)
+                      "synthetic_wer": wer,
+                      "hparams": os.path.join(exp, "hparams.yaml"),
+                      "checkpoints": os.path.join(exp, "checkpoints")}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,15 @@ if [ "$QUICK" != "quick" ]; then
     # 8) recipe-scale dress rehearsal (long; trains 1k utts on the chip)
     STEP_TIMEOUT=7200 run rehearsal python tools/recipe_rehearsal.py \
         --root bench_out/rehearsal
+
+    # 9) TRAINED production-size streaming model (verdict r2 item 5's
+    # remaining half), then the serving bench on it
+    STEP_TIMEOUT=7200 run rehearsal_online python tools/recipe_rehearsal.py \
+        --root bench_out/rehearsal_online --online --epochs 60 --utts 600
+    STEP_TIMEOUT=3600 run streaming_trained python tools/bench_streaming.py \
+        --streams 4 \
+        --train-config bench_out/rehearsal_online/exp/hparams.yaml \
+        --model-path bench_out/rehearsal_online/exp/checkpoints
 fi
 
 echo "sweep done $(date +%H:%M:%S)" | tee -a bench_out/sweep.log
