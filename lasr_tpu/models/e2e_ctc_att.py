@@ -149,6 +149,8 @@ class E2E_Transformer_CTC(E2EBase):
     decoder_self_attention_dropout_rate: float = 0.0
     ctc_dropout: float = 0.1
     encoder_remat: bool = False
+    # sequence parallelism (see E2E_Conformer_CTC.encoder_act_sharding)
+    encoder_act_sharding: object = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -163,6 +165,7 @@ class E2E_Transformer_CTC(E2EBase):
             positional_dropout_rate=self.encoder_dropout_rate,
             attention_dropout_rate=self.encoder_attention_dropout_rate,
             remat=self.encoder_remat,
+            act_sharding=self.encoder_act_sharding,
             dtype=self.dtype)
         self.decoder = Decoder(
             odim=self.odim,

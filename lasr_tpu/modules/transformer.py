@@ -39,6 +39,9 @@ class EncoderLayer(nn.Module):
     attention_dropout_rate: float = 0.0
     normalize_before: bool = True
     concat_after: bool = False
+    # sequence parallelism: (data, seq) NamedSharding re-asserted at the
+    # block boundary (see ConformerEncoderLayer.act_sharding)
+    act_sharding: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,6 +51,9 @@ class EncoderLayer(nn.Module):
         (keys/values span all of x) and return just those rows — the
         reference's incremental-cache path (encoder_layer.py:56-68 /
         transformer per-chunk streaming)."""
+        if self.act_sharding is not None and q_rows is None:
+            from lasr_tpu.parallel.mesh import constrain_divisible
+            x = constrain_divisible(x, self.act_sharding)
         residual = x
         if self.normalize_before:
             x = nn.LayerNorm(LAYERNORM_EPS, dtype=self.dtype, name="norm1")(x)
@@ -105,6 +111,7 @@ class Encoder(nn.Module):
     normalize_before: bool = True
     concat_after: bool = False
     remat: bool = False   # rematerialize layer activations (memory ↓, FLOPs ↑)
+    act_sharding: Optional[object] = None   # sequence parallelism
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -137,7 +144,8 @@ class Encoder(nn.Module):
             layer_cls(self.attention_dim, self.attention_heads,
                          self.linear_units, self.dropout_rate,
                          self.attention_dropout_rate, self.normalize_before,
-                         self.concat_after, dtype=self.dtype,
+                         self.concat_after,
+                         act_sharding=self.act_sharding, dtype=self.dtype,
                          name=f"layers_{i}")
             for i in range(self.num_blocks)]
         if self.normalize_before:

@@ -476,3 +476,38 @@ def test_sequence_parallel_step_matches_single_device(toy):
         s_1, m_1 = tr_1.train_step(s_1, batch)
     np.testing.assert_allclose(float(m_sp["loss_main"]),
                                float(m_1["loss_main"]), rtol=2e-4)
+
+
+def test_transformer_act_sharding_forward_matches(toy):
+    """E2E_Transformer_CTC with encoder_act_sharding on a 2x2x2 mesh:
+    the jitted forward equals the unconstrained single-device forward."""
+    from lasr_tpu.parallel.mesh import seq_sharding, batch_sharding
+    root, tok, ds = toy
+    mesh = make_mesh(data=2, seq=2, model=2)
+    kw = dict(idim=80, odim=tok.dict_size(),
+              encoder_attention_dim=32, encoder_attention_heads=2,
+              encoder_linear_units=64, encoder_num_blocks=2,
+              decoder_attention_dim=32, decoder_attention_heads=2,
+              decoder_linear_units=64, decoder_num_block=1,
+              encoder_dropout_rate=0.0, decoder_dropout_rate=0.0,
+              ctc_dropout=0.0)
+    m_sp = E2E_Transformer_CTC(encoder_act_sharding=seq_sharding(mesh), **kw)
+    m_1 = E2E_Transformer_CTC(**kw)
+    rng = np.random.default_rng(0)
+    B, T, L = 2, 64, 6
+    x = jnp.asarray(rng.standard_normal((B, T, 80)), jnp.float32)
+    xlen = jnp.asarray([T, T - 8], jnp.int32)
+    ys = jnp.asarray(rng.integers(6, tok.dict_size(), (B, L)))
+    variables = m_1.init(jax.random.PRNGKey(0), x, xlen, ys)
+
+    out1 = m_1.apply(variables, x, xlen, ys)
+    sh = batch_sharding(mesh)
+    xs = jax.device_put(x, sh)
+    out2 = jax.jit(lambda v, a, b, c: m_sp.apply(v, a, b, c))(
+        variables, xs, jax.device_put(xlen, sh), jax.device_put(ys, sh))
+    np.testing.assert_allclose(np.asarray(out1["ctc_out"]),
+                               np.asarray(out2["ctc_out"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1["att_out"]),
+                               np.asarray(out2["att_out"]),
+                               rtol=2e-4, atol=2e-5)
