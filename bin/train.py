@@ -84,6 +84,11 @@ def main(argv=None):
     mp, sp = args.model_parallel, args.seq_parallel
     n_dev = (len(jax.devices()) // (mp * sp) if args.num_devices < 0
              else args.num_devices)
+    if n_dev < 1:
+        raise SystemExit(
+            f"model_parallel*seq_parallel = {mp * sp} exceeds the "
+            f"{len(jax.devices())} available devices (data axis would be "
+            f"{n_dev})")
     mesh = make_mesh(data=n_dev, model=mp, seq=sp,
                      devices=jax.devices()[:n_dev * mp * sp])
 

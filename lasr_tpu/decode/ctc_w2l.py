@@ -200,17 +200,23 @@ class CTC_KenLM_Decoder:
                 allowed = set(np.argpartition(lp[t], -topk)[-topk:].tolist())
             table: dict = {}
             for h in hyps:
+                # flashlight applies the top-K to EVERY token proposal —
+                # blank/repeat/silence included, not just trie descends
+                # (LexiconDecoder::decode iterates only the top
+                # beamSizeToken indices per frame)
                 # 1) blank: trie position and lm state survive
-                b = lp[t, self.blank]
-                self._merge(table, _Hyp(h.score + b, h.node, h.lm_state,
-                                        -1, h.words, h.toks, h.lm_acc))
+                if allowed is None or self.blank in allowed:
+                    b = lp[t, self.blank]
+                    self._merge(table, _Hyp(h.score + b, h.node, h.lm_state,
+                                            -1, h.words, h.toks, h.lm_acc))
                 # 2) repeat the previous token (CTC collapse)
-                if h.prev >= 0:
+                if h.prev >= 0 and (allowed is None or h.prev in allowed):
                     self._merge(table, _Hyp(h.score + lp[t, h.prev], h.node,
                                             h.lm_state, h.prev, h.words,
                                             h.toks, h.lm_acc))
                 # 3) silence as a re-enterable token (only when distinct)
-                if not self._sil_is_blank and h.node is root:
+                if not self._sil_is_blank and h.node is root \
+                        and (allowed is None or self.silence in allowed):
                     s = h.score + lp[t, self.silence] + self.sil_score
                     self._merge(table, _Hyp(s, root, h.lm_state,
                                             self.silence, h.words,

@@ -344,6 +344,27 @@ class ConformerEncoder(nn.Module):
         (int or (B,) array, long-form windows); a no-op under rel_pos,
         which is translation-invariant by construction."""
         rel = self.pos_enc_layer_type == "rel_pos"
+        # sequence parallelism: pad the time dim so the encoder length
+        # divides the mesh seq axis (otherwise the sharding constraint
+        # would silently drop the seq dim).  Appended feature rows behave
+        # exactly like the dataset's bucket padding: past every row's
+        # h_len, masked everywhere downstream.
+        len_cap = None   # clamp h_len to the UNPADDED encoder length so
+        # full-length rows don't gain trailing frames from the pad
+        # (the batch-length convention would otherwise credit them)
+        if self.act_sharding is not None:
+            from lasr_tpu.parallel.mesh import seq_axis_size
+            sn = seq_axis_size(self.act_sharding)
+            if sn > 1:
+                if self.input_layer == "conv2d":
+                    t_enc = ((x.shape[1] - 1) // 2 - 1) // 2
+                    xpad = 4 * ((-t_enc) % sn)
+                else:
+                    t_enc = x.shape[1]
+                    xpad = (-t_enc) % sn
+                if xpad:
+                    x = jnp.pad(x, ((0, 0), (0, xpad), (0, 0)))
+                    len_cap = t_enc
         if self.input_layer == "conv2d":
             out, h_len = self.embed(x, x_len,
                                     offset=0 if rel else pos_offset,
@@ -366,6 +387,8 @@ class ConformerEncoder(nn.Module):
             h, pos_emb = out
         else:
             h, pos_emb = out, None
+        if len_cap is not None:
+            h_len = jnp.minimum(h_len, len_cap)
 
         T = h.shape[1]
         pad = jnp.arange(T)[None, :] < h_len[:, None]

@@ -180,8 +180,31 @@ class Encoder(nn.Module):
         encoded alone (see Conv2dSubsampling.subsampled_len).
         ``pos_offset``: absolute-PE start position(s), int or (B,) array
         (long-form windowed encoding)."""
+        # sequence parallelism: pad the time dim to a seq-axis multiple
+        # (see ConformerEncoder.__call__ — appended rows act like bucket
+        # padding, masked past every row's h_len)
+        len_cap = None
+        if self.act_sharding is not None:
+            from lasr_tpu.parallel.mesh import seq_axis_size
+            sn = seq_axis_size(self.act_sharding)
+            if sn > 1:
+                if self.input_layer == "conv2d":
+                    t_enc = ((x.shape[1] - 1) // 2 - 1) // 2
+                    xpad = 4 * ((-t_enc) % sn)
+                else:
+                    t_enc = x.shape[1]
+                    xpad = (-t_enc) % sn
+                if xpad:
+                    pad_width = [(0, 0), (0, xpad)] + \
+                        [(0, 0)] * (x.ndim - 2)
+                    x = jnp.pad(x, pad_width)
+                    len_cap = t_enc
         h, h_len = self.embed_input(x, x_len, deterministic,
                                     solo_len=solo_pad, pos_offset=pos_offset)
+        if len_cap is not None:
+            # clamp to the UNPADDED encoder length: full-length rows must
+            # not gain trailing frames from the seq pad
+            h_len = jnp.minimum(h_len, len_cap)
         T = h.shape[1]
         pad = jnp.arange(T)[None, :] < h_len[:, None]  # (B, T)
         mask = pad[:, None, :]                          # (B, 1, T)

@@ -31,6 +31,10 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     if n > len(devices):
         raise ValueError(f"mesh {data}x{seq}x{model} needs {n} devices, "
                          f"have {len(devices)}")
+    if n <= 0:
+        raise ValueError(
+            f"mesh {data}x{seq}x{model} is empty — model*seq "
+            f"({model * seq}) exceeds the {len(devices)} available devices?")
     arr = np.asarray(devices[:n]).reshape(data, seq, model)
     return Mesh(arr, axis_names=("data", "seq", "model"))
 
@@ -48,12 +52,24 @@ def seq_sharding(mesh: Mesh) -> Optional[NamedSharding]:
     return NamedSharding(mesh, P("data", "seq"))
 
 
+def seq_axis_size(sharding: Optional[NamedSharding]) -> int:
+    """Mesh extent of the sharding's dim-1 (time) axis; 1 if unsharded."""
+    if sharding is None or len(sharding.spec) < 2 or sharding.spec[1] is None:
+        return 1
+    name = sharding.spec[1]
+    if isinstance(name, tuple):
+        n = 1
+        for a in name:
+            n *= sharding.mesh.shape[a]
+        return n
+    return sharding.mesh.shape[name]
+
+
 def constrain_divisible(x, sharding: NamedSharding):
     """with_sharding_constraint, dropping per-dim axes the shape cannot
     honour (pjit requires divisibility; e.g. the 1-row init_state batch
-    cannot shard 2-way on dim 0 — those dims replicate instead)."""
-    import jax
-
+    cannot shard 2-way on dim 0 — those dims replicate instead; encoders
+    pad their time dim to a seq multiple so dim 1 never drops there)."""
     mesh = sharding.mesh
     names = list(sharding.spec) + [None] * (x.ndim - len(sharding.spec))
 

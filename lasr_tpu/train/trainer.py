@@ -59,14 +59,23 @@ class Trainer:
                  checkpoint_keep: int = 10,
                  partition_params: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh()
-        if (self.mesh.shape.get("seq", 1) > 1
-                and getattr(model, "encoder_act_sharding", "absent") is None):
-            # sequence parallelism: re-assert (data, seq) activation
-            # sharding at every encoder block so XLA keeps the time dim
-            # sharded through the stack (stretch-config memory scaling)
-            from lasr_tpu.parallel.mesh import seq_sharding
-            model = model.clone(
-                encoder_act_sharding=seq_sharding(self.mesh))
+        if self.mesh.shape.get("seq", 1) > 1:
+            if getattr(model, "encoder_act_sharding", "absent") is None:
+                # sequence parallelism: re-assert (data, seq) activation
+                # sharding at every encoder block so XLA keeps the time
+                # dim sharded through the stack (stretch-config memory
+                # scaling)
+                from lasr_tpu.parallel.mesh import seq_sharding
+                model = model.clone(
+                    encoder_act_sharding=seq_sharding(self.mesh))
+            elif not hasattr(model, "encoder_act_sharding"):
+                import logging as _logging
+                _logging.warning(
+                    "mesh has a seq axis of %d but %s has no "
+                    "encoder_act_sharding field — sequence parallelism is "
+                    "a no-op for this model and those devices will do "
+                    "redundant replicated compute",
+                    self.mesh.shape["seq"], type(model).__name__)
         self.model = model
         self.criterion = criterion
         self.frontend = frontend
@@ -598,6 +607,11 @@ def average_checkpoints(directory: str, ids: str = "last", num: int = 5
         (e.g. a single chip restoring a dp x seq x model training mesh)."""
         with ocp.PyTreeCheckpointer() as ckptr:
             im = ckptr.metadata(path).item_metadata
+            # NOTE: restores the full tree including opt_state (~2x the
+            # param bytes) only for the caller to discard it — this orbax
+            # version rejects subset restore_args (dict-key mismatch) and
+            # its transforms={} partial-restore path IndexErrors; revisit
+            # if orbax grows a working partial restore
             leaves, treedef = jtu.tree_flatten({k: im[k] for k in im})
             ra = jtu.tree_unflatten(
                 treedef,

@@ -435,7 +435,23 @@ def test_sequence_parallel_step_matches_single_device(toy):
     from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
     from lasr_tpu.train.optimizer import Adam, WarmupScheduler
     root, tok, ds = toy
-    batch = next(iter(ds.batches()))
+    # S=16300 -> T0=100 fbank frames -> T_enc=24, divisible by the seq
+    # axis: no pad frames, so conformer BatchNorm statistics are
+    # bit-comparable with the single-device run (an odd T_enc pads one
+    # masked frame whose BN contribution drifts the loss ~1e-3 — the
+    # same semantic class as dataset bucket padding; padding semantics
+    # themselves are pinned by test_seq_parallel_pads_odd_time_dim)
+    rng_b = np.random.default_rng(0)
+    B, S = 4, 16300
+    batch = {
+        "wav_array": (0.1 * rng_b.standard_normal((B, S))
+                      ).astype(np.float32),
+        "wav_len": np.full((B,), S, np.int32),
+        "token_id": rng_b.integers(6, tok.dict_size(),
+                                   (B, 6)).astype(np.int32),
+        "token_len": np.full((B,), 6, np.int32),
+        "n_utts": B,
+    }
 
     def build():
         model = E2E_Conformer_CTC(
@@ -505,9 +521,52 @@ def test_transformer_act_sharding_forward_matches(toy):
     xs = jax.device_put(x, sh)
     out2 = jax.jit(lambda v, a, b, c: m_sp.apply(v, a, b, c))(
         variables, xs, jax.device_put(xlen, sh), jax.device_put(ys, sh))
+    # T=64 -> T_enc=15 (odd): the SP forward pads to 16; the valid
+    # region must match the unconstrained forward exactly
+    T1 = out1["ctc_out"].shape[1]
+    assert out2["ctc_out"].shape[1] in (T1, T1 + 1)
     np.testing.assert_allclose(np.asarray(out1["ctc_out"]),
-                               np.asarray(out2["ctc_out"]),
+                               np.asarray(out2["ctc_out"])[:, :T1],
                                rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out1["hs_len"]),
+                                  np.asarray(out2["hs_len"]))
     np.testing.assert_allclose(np.asarray(out1["att_out"]),
                                np.asarray(out2["att_out"]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_seq_parallel_pads_odd_time_dim(toy):
+    """A time dim not divisible by the seq axis must be PADDED (keeping
+    the sharding), not silently replicated — and the valid rows must
+    equal the unconstrained forward (transformer: no BatchNorm, exact)."""
+    from lasr_tpu.parallel.mesh import seq_sharding, batch_sharding
+    root, tok, ds = toy
+    mesh = make_mesh(data=2, seq=2, model=2)
+    kw = dict(idim=80, odim=tok.dict_size(),
+              encoder_attention_dim=32, encoder_attention_heads=2,
+              encoder_linear_units=64, encoder_num_blocks=2,
+              decoder_attention_dim=32, decoder_attention_heads=2,
+              decoder_linear_units=64, decoder_num_block=1,
+              encoder_dropout_rate=0.0, decoder_dropout_rate=0.0,
+              ctc_dropout=0.0)
+    m_sp = E2E_Transformer_CTC(encoder_act_sharding=seq_sharding(mesh), **kw)
+    m_1 = E2E_Transformer_CTC(**kw)
+    rng = np.random.default_rng(0)
+    # T=50 feature frames -> T_enc = ((50-1)//2 - 1)//2 = 11 (odd)
+    B, T, L = 2, 50, 5
+    assert ((T - 1) // 2 - 1) // 2 % 2 == 1
+    x = jnp.asarray(rng.standard_normal((B, T, 80)), jnp.float32)
+    xlen = jnp.asarray([T, T - 8], jnp.int32)
+    ys = jnp.asarray(rng.integers(6, tok.dict_size(), (B, L)))
+    variables = m_1.init(jax.random.PRNGKey(0), x, xlen, ys)
+
+    hs1, hl1 = m_1.apply(variables, x, xlen, method=m_1.encode)
+    sh = batch_sharding(mesh)
+    enc = jax.jit(lambda v, a, b: m_sp.apply(v, a, b, method=m_sp.encode))
+    hs2, hl2 = enc(variables, jax.device_put(x, sh),
+                   jax.device_put(xlen, sh))
+    # padded to the seq multiple, valid lengths unchanged
+    assert hs2.shape[1] % 2 == 0 and hs2.shape[1] == hs1.shape[1] + 1
+    np.testing.assert_array_equal(np.asarray(hl1), np.asarray(hl2))
+    np.testing.assert_allclose(np.asarray(hs2)[:, : hs1.shape[1]],
+                               np.asarray(hs1), rtol=2e-4, atol=2e-5)

@@ -70,6 +70,12 @@ def bench_w2l(args, T):
 
     from lasr_tpu.decode.ctc_w2l import CTC_KenLM_Decoder
     out = {}
+    # one posterior set per kind, decoded by BOTH configs, so the
+    # full-vs-topk comparison is apples-to-apples
+    n = max(2, args.utts // 2)
+    lps = {kind: [np.log(np.maximum(
+        synth_posteriors(T, V, kind, rng), 1e-300)) for _ in range(n)]
+        for kind in ("peaked", "uniform")}
     for label, tok_k in (("full", None), ("topk40", 40)):
         dec = CTC_KenLM_Decoder(
             beam_size=args.beam, beam_threshold=25.0,
@@ -77,9 +83,7 @@ def bench_w2l(args, T):
             kenlm_model=f"{d}/lm.arpa", lm_weight=2.0, word_score=-1.0,
             beam_size_token=tok_k)
         for kind in ("peaked", "uniform"):
-            posts = [synth_posteriors(T, V, kind, rng)
-                     for _ in range(max(2, args.utts // 2))]
-            lp = [np.log(np.maximum(p, 1e-300)) for p in posts]
+            lp = lps[kind]
             dec.decode_problike(lp[0])
             t0 = time.perf_counter()
             for x in lp:
