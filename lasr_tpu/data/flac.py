@@ -131,15 +131,21 @@ class _BitReader:
         out = np.empty(count, np.int64)
         bits = self.bits
         ones = self._ones
+        n_ones = len(ones)
+        nbits = len(bits)
         pos = self.pos
         oi = int(np.searchsorted(ones, pos))
         for i in range(count):
+            if oi >= n_ones:
+                raise ValueError("flac: unary overrun")
             j = int(ones[oi])
             q = j - pos
             pos = j + 1
             oi += 1
             r = 0
             if param:
+                if pos + param > nbits:
+                    raise ValueError("flac: bitstream overrun")
                 for b in bits[pos : pos + param].tolist():
                     r = (r << 1) | b
                 pos += param

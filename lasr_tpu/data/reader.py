@@ -57,6 +57,8 @@ def _parse_wav_header(f: IO[bytes]) -> WavFormat:
         chunk_id, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
         if chunk_id == b"fmt ":
             body = f.read(size)
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             audio_format, channels, sample_rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_format == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
