@@ -66,7 +66,35 @@ def _flops_per_step(trainer, state, batch):
     return 5.7658e12, "xla-cpu-precomputed"
 
 
+def _init_backend_or_die(timeout_s: float = 300.0):
+    """jax.devices() HANGS (no error) when this image's axon TPU tunnel
+    is down — observed for multi-hour stretches.  Bound the init so the
+    driver gets a diagnosable JSON line instead of a wedged process."""
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def _init():
+        import jax
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "conformer_baseline_train_utts_per_sec_per_chip",
+            "value": 0.0, "unit": "utts/s", "vs_baseline": 0.0,
+            "detail": {"error": "TPU backend init timed out after "
+                                f"{timeout_s:.0f}s (axon tunnel down)"},
+        }))
+        os._exit(1)
+
+
 def main():
+    _init_backend_or_die()
     import jax
     import jax.numpy as jnp
 
