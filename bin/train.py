@@ -29,6 +29,10 @@ def main(argv=None):
                         help="mesh seq-axis size (sequence parallelism: "
                              "encoder activations shard their time dim — "
                              "stretch-config memory scaling)")
+    parser.add_argument("-fsdp", default=0, type=int,
+                        help="1 = FSDP/ZeRO: shard params + optimizer "
+                             "moments + grad accumulator over the data "
+                             "axis (parallel/sharding.py)")
     parser.add_argument("-num_epochs", default=50, type=int)
     parser.add_argument("-fp16", default=32, type=int,
                         help="32 = float32 compute; 16 = bfloat16 compute")
@@ -119,7 +123,8 @@ def main(argv=None):
         model, criterion, optimizer_tx, frontend, tokenizer=tokenizer,
         exp_dir=args.exp_dir, schedule=schedule, mesh=mesh,
         use_ema=args.ema == 1, acc_grads=args.acc_grads, seed=args.seed,
-        log_interval=args.log_interval, partition_params=mp > 1)
+        log_interval=args.log_interval, partition_params=mp > 1,
+        fsdp_params=args.fsdp == 1)
 
     logging.info("loading + checking data")
     train_dataset.load_check_data()

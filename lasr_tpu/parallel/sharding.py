@@ -1,4 +1,4 @@
-"""Tensor-parallel parameter partitioning over the ``model`` mesh axis.
+"""Tensor-parallel and FSDP parameter partitioning over the mesh.
 
 The reference has data parallelism only (SURVEY.md §2.8); this module is the
 scale-out path for the stretch 1B-param config (BASELINE.json configs[4]):
@@ -6,7 +6,7 @@ Megatron-style sharding specs per parameter, applied as NamedShardings so
 XLA's SPMD partitioner runs the attention/FFN matmuls model-parallel and
 inserts the ICI collectives.
 
-Rules (path-suffix matched, biases/norms replicated):
+Tensor-parallel rules (path-suffix matched, biases/norms replicated):
   - attention q/k/v projections: kernel (d, d) → P(None, 'model')   (col)
   - attention out projection:    kernel (d, d) → P('model', None)   (row)
   - FFN Dense_0 (d → 4d):        P(None, 'model')                   (col)
@@ -14,6 +14,15 @@ Rules (path-suffix matched, biases/norms replicated):
   - token embedding (V, d):      P('model', None)    (vocab-sharded)
   - decoder output / CTC head (d, V): P(None, 'model')
   - everything else: replicated P()
+
+FSDP (``fsdp=True``): additionally shards every ≥2-D leaf's first
+still-unsharded divisible dim over the ``data`` axis — the ZeRO pattern:
+parameters, gradients, optimizer moments and the MultiSteps grad
+accumulator (all ``zeros_like``-inherited) each live 1/dp-sharded in HBM,
+and XLA's SPMD partitioner inserts the weight all-gathers at use and
+reduce-scatters on the gradients over ICI.  Per-leaf sharding means no
+stage graph and no layout change for checkpoints (orbax saves/restores by
+global shape; ``average_checkpoints`` already restores topology-free).
 """
 
 from __future__ import annotations
@@ -49,32 +58,69 @@ def param_spec(path: Tuple[str, ...], leaf) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh):
-    """device_put every param leaf with its TP sharding over ``mesh``.
+# FSDP leaves smaller than this stay replicated: sharding a 10k-element
+# depthwise-conv kernel saves nothing and forces the SPMD partitioner into
+# awkward reshardings around the conv halo exchanges; the memory lives in
+# the FFN/attention/embedding matrices, which are all far above this.
+FSDP_MIN_SIZE = 32768
 
-    Dimensions not divisible by the model-axis size fall back to
-    replication (correctness first; pad-to-multiple is the perf follow-up).
-    """
+
+def _leaf_spec(path: Tuple[str, ...], leaf, mesh: Mesh,
+               tp: bool, fsdp: bool, fsdp_min_size: int) -> P:
+    """Resolved per-leaf PartitionSpec: TP rules (divisibility-checked),
+    then the FSDP 'data' dim on the first still-free divisible dim."""
     model_size = mesh.shape.get("model", 1)
-    flat = flatten_dict(params)
-    out = {}
-    for path, leaf in flat.items():
-        spec = param_spec(path, leaf)
-        for dim, axis in enumerate(spec):
-            if axis == "model" and leaf.shape[dim] % model_size != 0:
-                spec = P()
+    spec = param_spec(path, leaf) if tp else P()
+    for dim, axis in enumerate(spec):
+        if axis == "model" and leaf.shape[dim] % model_size != 0:
+            spec = P()
+            break
+    data_size = mesh.shape.get("data", 1)
+    if fsdp and data_size > 1 and leaf.ndim >= 2 \
+            and leaf.size >= fsdp_min_size:
+        names = list(spec) + [None] * (leaf.ndim - len(spec))
+        for dim in range(leaf.ndim):
+            if names[dim] is None and leaf.shape[dim] % data_size == 0:
+                names[dim] = "data"
                 break
-        out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+        spec = P(*names)
+    return spec
+
+
+def param_shardings(params, mesh: Mesh, tp: bool = True, fsdp: bool = False,
+                    fsdp_min_size: int = FSDP_MIN_SIZE):
+    """Tree of NamedShardings matching ``params`` (same treedef)."""
+    flat = flatten_dict(params)
+    out = {path: NamedSharding(mesh, _leaf_spec(path, leaf, mesh, tp, fsdp,
+                                                fsdp_min_size))
+           for path, leaf in flat.items()}
     return unflatten_dict(out)
 
 
-def shard_state_params(state, mesh: Mesh):
-    """Shard a TrainState's params (and EMA shadow) over the model axis;
+def shard_params(params, mesh: Mesh, tp: bool = True, fsdp: bool = False,
+                 fsdp_min_size: int = FSDP_MIN_SIZE):
+    """device_put every param leaf with its TP/FSDP sharding over ``mesh``.
+
+    Dimensions not divisible by the owning axis size fall back to
+    replication (correctness first; pad-to-multiple is the perf follow-up).
+    """
+    return jax.tree.map(jax.device_put, params,
+                        param_shardings(params, mesh, tp=tp, fsdp=fsdp,
+                                        fsdp_min_size=fsdp_min_size))
+
+
+def shard_state_params(state, mesh: Mesh, tp: bool = True,
+                       fsdp: bool = False,
+                       fsdp_min_size: int = FSDP_MIN_SIZE):
+    """Shard a TrainState's params (and EMA shadow) over the mesh;
     everything else replicates. Call before ``tx.init`` so optimizer moments
     inherit the placement."""
-    new_params = shard_params(state.params, mesh)
+    new_params = shard_params(state.params, mesh, tp=tp, fsdp=fsdp,
+                              fsdp_min_size=fsdp_min_size)
     new_ema = None
     if state.ema is not None:
         new_ema = dict(state.ema)
-        new_ema["shadow"] = shard_params(state.ema["shadow"], mesh)
+        new_ema["shadow"] = shard_params(state.ema["shadow"], mesh,
+                                         tp=tp, fsdp=fsdp,
+                                         fsdp_min_size=fsdp_min_size)
     return state.replace(params=new_params, ema=new_ema)

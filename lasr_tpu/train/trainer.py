@@ -57,7 +57,9 @@ class Trainer:
                  grad_clip: float = 5.0, acc_grads: int = 1,
                  seed: int = 0, log_interval: int = 50,
                  checkpoint_keep: int = 10,
-                 partition_params: bool = False):
+                 partition_params: bool = False,
+                 fsdp_params: bool = False,
+                 fsdp_min_size: Optional[int] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
         if self.mesh.shape.get("seq", 1) > 1:
             if getattr(model, "encoder_act_sharding", "absent") is None:
@@ -89,6 +91,15 @@ class Trainer:
         self.log_interval = log_interval
         self.checkpoint_keep = checkpoint_keep
         self.partition_params = partition_params
+        # FSDP/ZeRO: params + optimizer moments + grad accumulator live
+        # 1/dp-sharded over the 'data' axis (parallel/sharding.py); XLA
+        # all-gathers weights at use and reduce-scatters grads over ICI
+        self.fsdp_params = fsdp_params
+        if fsdp_min_size is None:
+            from lasr_tpu.parallel.sharding import FSDP_MIN_SIZE
+            fsdp_min_size = FSDP_MIN_SIZE
+        self.fsdp_min_size = fsdp_min_size
+        self._param_shardings = None
 
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), optimizer_tx)
         if acc_grads > 1:
@@ -140,11 +151,20 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._has_bn = "batch_stats" in variables
-        if self.partition_params:
-            # tensor-parallel placement over the mesh 'model' axis; the
-            # optimizer state (zeros_like) inherits each leaf's sharding
-            from lasr_tpu.parallel.sharding import shard_params
-            params = shard_params(params, self.mesh)
+        if self.partition_params or self.fsdp_params:
+            # TP placement over the 'model' axis and/or FSDP over 'data';
+            # the optimizer state (zeros_like) inherits each leaf's sharding
+            from lasr_tpu.parallel.sharding import (param_shardings,
+                                                    shard_params)
+            params = shard_params(params, self.mesh,
+                                  tp=self.partition_params,
+                                  fsdp=self.fsdp_params,
+                                  fsdp_min_size=self.fsdp_min_size)
+            # the jitted step re-constrains updated params to this tree so
+            # the placement is stable across steps (not left to inference)
+            self._param_shardings = param_shardings(
+                params, self.mesh, tp=self.partition_params,
+                fsdp=self.fsdp_params, fsdp_min_size=self.fsdp_min_size)
             rep = replicated(self.mesh)
             ema = None
             if self.use_ema:
@@ -205,8 +225,15 @@ class Trainer:
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if self._param_shardings is not None:
+            new_params = jax.tree.map(jax.lax.with_sharding_constraint,
+                                      new_params, self._param_shardings)
         new_ema = ema_update(state.ema, new_params, self.ema_decay) \
             if self.use_ema else None
+        if new_ema is not None and self._param_shardings is not None:
+            new_ema["shadow"] = jax.tree.map(
+                jax.lax.with_sharding_constraint,
+                new_ema["shadow"], self._param_shardings)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(step=state.step + 1, params=new_params,
@@ -300,16 +327,17 @@ class Trainer:
             step = step if step is not None else mgr_last.latest_step()
             tree = mgr_last.restore(step, args=ocp.args.StandardRestore(template))
         restored = _tree_to_state(tree, state)
-        if self.partition_params:
-            # re-establish TP placement: params/EMA by the sharding rules,
-            # optimizer moments by their matching live placement in `state`
+        if self.partition_params or self.fsdp_params:
+            # re-establish TP/FSDP placement: params/EMA by the sharding
+            # rules, optimizer moments by their live placement in `state`
             from lasr_tpu.parallel.sharding import shard_state_params
             restored = shard_state_params(
                 restored.replace(
                     step=jax.device_put(restored.step, replicated(self.mesh)),
                     batch_stats=jax.device_put(restored.batch_stats,
                                                replicated(self.mesh))),
-                self.mesh)
+                self.mesh, tp=self.partition_params, fsdp=self.fsdp_params,
+                fsdp_min_size=self.fsdp_min_size)
             opt = jax.tree.map(
                 lambda new, ref: jax.device_put(new, ref.sharding),
                 restored.opt_state, state.opt_state)

@@ -47,7 +47,8 @@ def toy(tmp_path_factory):
     return root, tok, ds
 
 
-def _make_trainer(tok, exp_dir=None, acc_grads=1, use_ema=False, mesh=None):
+def _make_trainer(tok, exp_dir=None, acc_grads=1, use_ema=False, mesh=None,
+                  **kw):
     model = E2E_Transformer_CTC(
         idim=80, odim=tok.dict_size(),
         encoder_attention_dim=32, encoder_attention_heads=2,
@@ -62,7 +63,7 @@ def _make_trainer(tok, exp_dir=None, acc_grads=1, use_ema=False, mesh=None):
     fe = DeviceFrontend(["norm", "fbank:80", "specaug"])
     return Trainer(model, crit, tx, fe, tokenizer=tok, exp_dir=exp_dir,
                    schedule=sched, mesh=mesh, use_ema=use_ema,
-                   acc_grads=acc_grads, log_interval=100), model
+                   acc_grads=acc_grads, log_interval=100, **kw), model
 
 
 def test_train_loss_decreases(toy):
@@ -208,6 +209,82 @@ def test_tensor_parallel_partitioned_step(toy):
         s_dp, m_dp = tr_dp.train_step(s_dp, batch)
     np.testing.assert_allclose(float(m_tp["loss_main"]),
                                float(m_dp["loss_main"]), rtol=2e-4)
+
+
+def test_fsdp_step_matches_single(toy):
+    """8-way FSDP (ZeRO): params + Adam moments + EMA shadow live
+    1/8-sharded over the data axis; numerics match the single-device step."""
+    from jax.sharding import PartitionSpec as P
+    root, tok, ds = toy
+    batch = next(iter(ds.batches()))
+
+    tr_f, _ = _make_trainer(tok, mesh=make_mesh(data=8), use_ema=True,
+                            fsdp_params=True, fsdp_min_size=0)
+    s_f = tr_f.init_state(batch)
+    k = s_f.params["encoder"]["layers_0"]["feed_forward"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P("data", None)
+    assert s_f.ema["shadow"]["encoder"]["layers_0"]["feed_forward"][
+        "Dense_0"]["kernel"].sharding.spec == P("data", None)
+    # the optimizer moments (zeros_like) inherit the FSDP placement
+    moments = [l for l in jax.tree.leaves(s_f.opt_state)
+               if getattr(l, "shape", None) == k.shape]
+    assert moments and all(m.sharding.spec == P("data", None) for m in moments)
+
+    tr_1, _ = _make_trainer(tok, mesh=make_mesh(
+        data=1, devices=jax.devices()[:1]), use_ema=True)
+    s_1 = tr_1.init_state(batch)
+    for _ in range(3):
+        s_f, m_f = tr_f.train_step(s_f, batch)
+        s_1, m_1 = tr_1.train_step(s_1, batch)
+    np.testing.assert_allclose(float(m_f["loss_main"]),
+                               float(m_1["loss_main"]), rtol=2e-4)
+    # placement survives the update chain (the step re-constrains params;
+    # constraint output may normalize away the trailing None — compare
+    # shardings semantically, not spec tuples)
+    from jax.sharding import NamedSharding
+    k = s_f.params["encoder"]["layers_0"]["feed_forward"]["Dense_0"]["kernel"]
+    assert k.sharding.is_equivalent_to(
+        NamedSharding(tr_f.mesh, P("data", None)), k.ndim)
+
+
+def test_fsdp_with_tp_matches_single(toy):
+    """FSDP composes with tensor parallelism: a 2(data) x 4(model) mesh
+    shards FFN kernels P('data','model') and still matches single-device."""
+    from jax.sharding import PartitionSpec as P
+    root, tok, ds = toy
+    batch = next(iter(ds.batches()))
+    tr, _ = _make_trainer(tok, mesh=make_mesh(data=2, model=4),
+                          partition_params=True, fsdp_params=True, fsdp_min_size=0)
+    s = tr.init_state(batch)
+    k = s.params["encoder"]["layers_0"]["feed_forward"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P("data", "model")
+
+    tr_1, _ = _make_trainer(tok, mesh=make_mesh(
+        data=1, devices=jax.devices()[:1]))
+    s_1 = tr_1.init_state(batch)
+    for _ in range(2):
+        s, m = tr.train_step(s, batch)
+        s_1, m_1 = tr_1.train_step(s_1, batch)
+    np.testing.assert_allclose(float(m["loss_main"]),
+                               float(m_1["loss_main"]), rtol=2e-4)
+
+
+def test_fsdp_checkpoint_restore_keeps_sharding(toy, tmp_path):
+    """Restore re-establishes the FSDP placement and training continues."""
+    from jax.sharding import PartitionSpec as P
+    root, tok, ds = toy
+    batch = next(iter(ds.batches()))
+    tr, _ = _make_trainer(tok, exp_dir=str(tmp_path / "exp_fsdp"),
+                          mesh=make_mesh(data=8), fsdp_params=True, fsdp_min_size=0)
+    state = tr.init_state(batch)
+    state, m = tr.train_step(state, batch)
+    tr.save_checkpoint(state, {"loss_main": float(m["loss_main"])})
+    state2 = tr.init_state(batch)
+    state2 = tr.restore_checkpoint(state2)
+    k = state2.params["encoder"]["layers_0"]["feed_forward"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P("data", None)
+    state2, m2 = tr.train_step(state2, batch)
+    assert np.isfinite(float(m2["loss_main"]))
 
 
 def test_1b_stretch_config_shapes():
