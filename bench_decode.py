@@ -13,6 +13,8 @@ import numpy as np
 
 
 def main():
+    from lasr_tpu.utils.env import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
 

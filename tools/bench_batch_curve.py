@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--secs", type=float, default=15.6)
     args = ap.parse_args()
 
+    from lasr_tpu.utils.env import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_default_prng_impl", "rbg")

@@ -22,8 +22,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--iters", type=int, default=15)
+    # smoke-test overrides (CPU wiring check); defaults are the recipe batch
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--secs", type=float, default=15.6)
     args = ap.parse_args()
 
+    from lasr_tpu.utils.env import respect_jax_platforms_env
+    respect_jax_platforms_env()
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_default_prng_impl", "rbg")
@@ -36,7 +41,7 @@ def main():
     from lasr_tpu.train.trainer import Trainer
 
     odim = 5000
-    B, secs, L = 32, 15.6, 64
+    B, secs, L = args.batch, args.secs, 64
     S = int(secs * 16000)
     rng = np.random.default_rng(0)
     batch_np = {
