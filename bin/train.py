@@ -29,6 +29,12 @@ def main(argv=None):
                         help="mesh seq-axis size (sequence parallelism: "
                              "encoder activations shard their time dim — "
                              "stretch-config memory scaling)")
+    parser.add_argument("-pipeline_parallel", default=1, type=int,
+                        help="mesh pipe-axis size (GPipe pipeline "
+                             "parallelism: encoder blocks stage-stack and "
+                             "shard over 'pipe'; sets the model's "
+                             "encoder_pipeline_stages unless the YAML "
+                             "already does)")
     parser.add_argument("-fsdp", default=0, type=int,
                         help="1 = FSDP/ZeRO: shard params + optimizer "
                              "moments + grad accumulator over the data "
@@ -85,16 +91,20 @@ def main(argv=None):
 
     tokenizer = BaseConfig(**tokenizer_config).generateExample()
 
-    mp, sp = args.model_parallel, args.seq_parallel
-    n_dev = (len(jax.devices()) // (mp * sp) if args.num_devices < 0
+    mp, sp, pp = args.model_parallel, args.seq_parallel, args.pipeline_parallel
+    n_dev = (len(jax.devices()) // (mp * sp * pp) if args.num_devices < 0
              else args.num_devices)
     if n_dev < 1:
         raise SystemExit(
-            f"model_parallel*seq_parallel = {mp * sp} exceeds the "
-            f"{len(jax.devices())} available devices (data axis would be "
-            f"{n_dev})")
-    mesh = make_mesh(data=n_dev, model=mp, seq=sp,
-                     devices=jax.devices()[:n_dev * mp * sp])
+            f"model_parallel*seq_parallel*pipeline_parallel = {mp * sp * pp} "
+            f"exceeds the {len(jax.devices())} available devices (data axis "
+            f"would be {n_dev})")
+    mesh = make_mesh(data=n_dev, model=mp, seq=sp, pipe=pp,
+                     devices=jax.devices()[:n_dev * mp * sp * pp])
+    if pp > 1:
+        # stage-stack the encoder unless the YAML already configured it
+        # (Trainer validates stages % pipe == 0 either way)
+        model_config["kwargs"].setdefault("encoder_pipeline_stages", pp)
 
     # batch dim must divide over the mesh data axis
     for dc in (train_data_config, valid_data_config):

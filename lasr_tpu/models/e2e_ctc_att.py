@@ -213,10 +213,18 @@ class E2E_Conformer_CTC(E2EBase):
     encoder_use_pallas_attention: bool = False
     encoder_remat_attend: int = 0   # see MultiHeadedAttention.remat_attend
     encoder_scan_layers: bool = False
+    # pipeline parallelism (modules/pipeline.py): stage-stacked encoder
+    # blocks scheduled GPipe-style; the stage axis shards over the mesh
+    # 'pipe' axis.  YAML-visible model structure (affects param shapes).
+    encoder_pipeline_stages: int = 1
+    encoder_pipeline_microbatches: int = 0
     # sequence parallelism: NamedSharding for encoder activations over a
     # (data, seq) mesh; injected by Trainer when the mesh has a seq axis
     # (parallel/mesh.py seq_sharding), not a YAML-visible knob
     encoder_act_sharding: object = None
+    # pipeline buffer NamedSharding ([stages, mb, T, D] — pipe, data);
+    # injected by Trainer when the mesh has a pipe axis, not a YAML knob
+    encoder_pipe_sharding: object = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -241,6 +249,9 @@ class E2E_Conformer_CTC(E2EBase):
             use_pallas_attention=self.encoder_use_pallas_attention,
             remat_attend=self.encoder_remat_attend,
             scan_layers=self.encoder_scan_layers,
+            pipeline_stages=self.encoder_pipeline_stages,
+            pipeline_microbatches=self.encoder_pipeline_microbatches,
+            pipe_sharding=self.encoder_pipe_sharding,
             act_sharding=self.encoder_act_sharding,
             dtype=self.dtype)
         self.decoder = Decoder(

@@ -34,6 +34,12 @@ def swish(x):
 class ConvolutionModule(nn.Module):
     channels: int
     kernel_size: int = 31
+    # matmul_form: express the convs as tap-wise matmul/FMA (TapConv1d,
+    # param-tree identical to nn.Conv).  Set by the pipelined encoder:
+    # XLA's SPMD partitioner miscompiles lax.conv when the stage-vmapped
+    # dim is sharded over 'pipe' (repro: tools/spmd_conv_repro.py) while
+    # dot_general partitions correctly.
+    matmul_form: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -44,20 +50,25 @@ class ConvolutionModule(nn.Module):
         GLU output at invalid frames before the depthwise conv so batched
         decode reproduces the zeros the conv's implicit padding provides
         when the utterance is encoded alone (solo-pad decode semantics)."""
-        h = nn.Conv(2 * self.channels, (1,), dtype=self.dtype,
-                    name="pointwise_conv1")(x)
+        if self.matmul_form:
+            from lasr_tpu.modules.convops import TapConv1d
+            conv = lambda feat, k, name, **kw: TapConv1d(
+                feat, k, dtype=self.dtype, name=name, **kw)
+        else:
+            conv = lambda feat, k, name, **kw: nn.Conv(
+                feat, (k,), dtype=self.dtype, name=name, **kw)
+        h = conv(2 * self.channels, 1, "pointwise_conv1")(x)
         h = nn.glu(h, axis=-1)
         if zero_mask is not None:
             h = jnp.where(zero_mask[..., None], h, 0.0)
         pad = (self.kernel_size - 1) // 2
-        h = nn.Conv(self.channels, (self.kernel_size,), padding=[(pad, pad)],
-                    feature_group_count=self.channels, dtype=self.dtype,
-                    name="depthwise_conv")(h)
+        h = conv(self.channels, self.kernel_size, "depthwise_conv",
+                 padding=[(pad, pad)],
+                 feature_group_count=self.channels)(h)
         h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="norm")(h)
         h = swish(h)
-        return nn.Conv(self.channels, (1,), dtype=self.dtype,
-                       name="pointwise_conv2")(h)
+        return conv(self.channels, 1, "pointwise_conv2")(h)
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -77,6 +88,10 @@ class ConformerEncoderLayer(nn.Module):
     use_pallas_attention: bool = False
     remat_attend: int = 0
     rot_fold: bool = False   # see RelPositionMultiHeadedAttention.rot_fold
+    # tap-matmul form for every in-layer conv (ConvolutionModule and the
+    # conv positionwise types) — required under pipeline parallelism, see
+    # ConvolutionModule.matmul_form / tools/spmd_conv_repro.py
+    conv_matmul_form: bool = False
     # sequence parallelism: a NamedSharding (batch over 'data', time over
     # 'seq') re-asserted at every block boundary so XLA keeps activations
     # time-sharded across the stack (gathers for attention, halo
@@ -92,11 +107,13 @@ class ConformerEncoderLayer(nn.Module):
         if self.positionwise_layer_type == "conv1d":
             return MultiLayeredConv1d(
                 self.size, self.linear_units, self.positionwise_conv_kernel_size,
-                self.dropout_rate, dtype=self.dtype, name=name)
+                self.dropout_rate, matmul_form=self.conv_matmul_form,
+                dtype=self.dtype, name=name)
         if self.positionwise_layer_type == "conv1d-linear":
             return Conv1dLinear(
                 self.size, self.linear_units, self.positionwise_conv_kernel_size,
-                self.dropout_rate, dtype=self.dtype, name=name)
+                self.dropout_rate, matmul_form=self.conv_matmul_form,
+                dtype=self.dtype, name=name)
         raise NotImplementedError(self.positionwise_layer_type)
 
     @nn.compact
@@ -156,6 +173,7 @@ class ConformerEncoderLayer(nn.Module):
                                  name="norm_conv")(x)
             x = residual + drop(
                 ConvolutionModule(self.size, self.cnn_module_kernel,
+                                  matmul_form=self.conv_matmul_form,
                                   dtype=self.dtype, name="conv_module")(
                     x, deterministic=deterministic,
                     zero_mask=conv_zero_mask),
@@ -203,6 +221,7 @@ class _ScanConformerLayer(nn.Module):
     use_pallas_attention: bool = False
     remat_attend: int = 0
     rot_fold: bool = False
+    conv_matmul_form: bool = False
     remat: bool = False
     act_sharding: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
@@ -220,7 +239,8 @@ class _ScanConformerLayer(nn.Module):
             self.use_cnn_module, self.cnn_module_kernel,
             self.normalize_before, self.concat_after,
             self.use_pallas_attention, remat_attend=self.remat_attend,
-            rot_fold=self.rot_fold, act_sharding=self.act_sharding,
+            rot_fold=self.rot_fold, conv_matmul_form=self.conv_matmul_form,
+            act_sharding=self.act_sharding,
             dtype=self.dtype, name="block")
         x = layer(carry.x, mask, pos_emb, carry.deterministic, conv_zero_mask,
                   pos_table)
@@ -259,6 +279,17 @@ class ConformerEncoder(nn.Module):
     # XLA compile time ~num_blocks-fold and — critically — means a single
     # Mosaic compilation when use_pallas_attention is on
     scan_layers: bool = False
+    # GPipe pipeline parallelism (modules/pipeline.py): stack the blocks
+    # [stages, num_blocks/stages, ...] and run the microbatched tick
+    # schedule; the stage axis shards over the mesh 'pipe' axis.  Mutually
+    # exclusive with scan_layers (the pipeline already scans within each
+    # stage).  microbatches=0 → 2*stages (bubble ≤ 1/3), clamped to a
+    # divisor of the batch at call time.
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
+    # NamedSharding for the [stages, mb, T, D] pipeline buffer (pipe over
+    # dim 0, data over dim 1); injected by Trainer, not a YAML knob
+    pipe_sharding: Optional[object] = None
     # sequence parallelism: NamedSharding for (B, T, D) activations,
     # re-asserted at every block (see ConformerEncoderLayer.act_sharding)
     act_sharding: Optional[object] = None
@@ -315,7 +346,24 @@ class ConformerEncoder(nn.Module):
                       and self.pos_enc_layer_type == "rel_pos"),
             act_sharding=self.act_sharding,
             dtype=self.dtype)
-        if self.scan_layers:
+        if self.pipeline_stages > 1:
+            if self.scan_layers:
+                raise ValueError("pipeline_stages>1 already scans the "
+                                 "layers within each stage; unset "
+                                 "scan_layers")
+            from lasr_tpu.modules.pipeline import make_stage_stack
+            # named pipe_stages: the path component is the marker
+            # parallel/sharding.py uses to split dim 0 over the mesh
+            # 'pipe' axis.  conv_matmul_form: lax.conv with the stage dim
+            # sharded miscompiles in the SPMD partitioner
+            # (tools/spmd_conv_repro.py) — TapConv1d is param-compatible,
+            # so checkpoints move freely between topologies.
+            pipe_kwargs = dict(layer_kwargs, conv_matmul_form=True)
+            self.encoders_pipelined = make_stage_stack(
+                _ScanConformerLayer, dict(remat=self.remat, **pipe_kwargs),
+                self.num_blocks, self.pipeline_stages, name="pipe_stages")
+            self.encoders = []
+        elif self.scan_layers:
             scanned = nn.scan(
                 _ScanConformerLayer,
                 variable_axes={"params": 0, "batch_stats": 0},
@@ -410,7 +458,14 @@ class ConformerEncoder(nn.Module):
                 and T <= 1024:
             from lasr_tpu.modules.attention import build_skewed_pos_table
             pos_table = build_skewed_pos_table(pos_emb)
-        if self.scan_layers:
+        if self.pipeline_stages > 1:
+            from lasr_tpu.modules.pipeline import run_pipeline
+            h = run_pipeline(
+                self, "encoders_pipelined", _LayerCarry, h, mask, conv_zero,
+                pos_emb, pos_table, self.pipeline_stages,
+                self.pipeline_microbatches or 2 * self.pipeline_stages,
+                deterministic, buf_sharding=self.pipe_sharding)
+        elif self.scan_layers:
             h, _ = self.encoders_scanned(
                 _LayerCarry(h, deterministic), mask, pos_emb, conv_zero,
                 pos_table)

@@ -27,6 +27,20 @@ class PositionwiseFeedForward(nn.Module):
         return nn.Dense(self.idim, dtype=self.dtype)(h)
 
 
+def _conv1d(matmul_form: bool, features: int, kernel_size: int, pad: int,
+            dtype, name=None):
+    """nn.Conv, or its tap-matmul twin when the caller sits inside a
+    pipeline stage whose vmapped dim is sharded (see modules/convops.py —
+    the SPMD partitioner miscompiles lax.conv there).  Param trees are
+    identical either way."""
+    if matmul_form:
+        from lasr_tpu.modules.convops import TapConv1d
+        return TapConv1d(features, kernel_size, padding=[(pad, pad)],
+                         dtype=dtype, name=name)
+    return nn.Conv(features, (kernel_size,), padding=[(pad, pad)],
+                   dtype=dtype, name=name)
+
+
 class MultiLayeredConv1d(nn.Module):
     """Two SAME-padded 1-D convs with ReLU (multi_layer_conv.py:12-61)."""
 
@@ -34,17 +48,21 @@ class MultiLayeredConv1d(nn.Module):
     hidden_units: int
     kernel_size: int = 1
     dropout_rate: float = 0.1
+    matmul_form: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         pad = (self.kernel_size - 1) // 2
-        h = nn.Conv(self.hidden_units, (self.kernel_size,),
-                    padding=[(pad, pad)], dtype=self.dtype)(x)
+        # explicit nn.Conv-style names: flax auto-naming is by class, so
+        # TapConv1d would otherwise land under TapConv1d_0 and break the
+        # param-tree compatibility between the two forms
+        h = _conv1d(self.matmul_form, self.hidden_units, self.kernel_size,
+                    pad, self.dtype, name="Conv_0")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Conv(self.idim, (self.kernel_size,),
-                       padding=[(pad, pad)], dtype=self.dtype)(h)
+        return _conv1d(self.matmul_form, self.idim, self.kernel_size,
+                       pad, self.dtype, name="Conv_1")(h)
 
 
 class Conv1dLinear(nn.Module):
@@ -54,13 +72,14 @@ class Conv1dLinear(nn.Module):
     hidden_units: int
     kernel_size: int = 1
     dropout_rate: float = 0.1
+    matmul_form: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         pad = (self.kernel_size - 1) // 2
-        h = nn.Conv(self.hidden_units, (self.kernel_size,),
-                    padding=[(pad, pad)], dtype=self.dtype)(x)
+        h = _conv1d(self.matmul_form, self.hidden_units, self.kernel_size,
+                    pad, self.dtype, name="Conv_0")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(self.idim, dtype=self.dtype)(h)

@@ -18,25 +18,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
-              devices: Optional[Sequence] = None, seq: int = 1) -> Mesh:
-    """(data, seq, model) mesh.  ``seq`` (default 1 — a no-op axis) holds
-    sequence parallelism for the stretch configs: encoder activations
-    shard their time dim over it (see ``seq_sharding`` and
-    ConformerEncoderLayer.act_sharding); XLA's SPMD partitioner inserts
-    the halo exchanges (conv) and gathers (attention) over ICI."""
+              devices: Optional[Sequence] = None, seq: int = 1,
+              pipe: int = 1) -> Mesh:
+    """(data, pipe, seq, model) mesh.  ``seq`` and ``pipe`` (default 1 —
+    no-op axes) hold sequence and pipeline parallelism for the stretch
+    configs: encoder activations shard their time dim over ``seq`` (see
+    ``seq_sharding`` and ConformerEncoderLayer.act_sharding); stage-stacked
+    encoder blocks shard over ``pipe`` (modules/pipeline.py).  XLA's SPMD
+    partitioner inserts the halo exchanges (conv), gathers (attention) and
+    stage-shift collective-permutes over ICI."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = len(devices) // (model * seq)
-    n = data * model * seq
+        data = len(devices) // (model * seq * pipe)
+    n = data * model * seq * pipe
     if n > len(devices):
-        raise ValueError(f"mesh {data}x{seq}x{model} needs {n} devices, "
-                         f"have {len(devices)}")
+        raise ValueError(f"mesh {data}x{pipe}x{seq}x{model} needs {n} "
+                         f"devices, have {len(devices)}")
     if n <= 0:
         raise ValueError(
-            f"mesh {data}x{seq}x{model} is empty — model*seq "
-            f"({model * seq}) exceeds the {len(devices)} available devices?")
-    arr = np.asarray(devices[:n]).reshape(data, seq, model)
-    return Mesh(arr, axis_names=("data", "seq", "model"))
+            f"mesh {data}x{pipe}x{seq}x{model} is empty — model*seq*pipe "
+            f"({model * seq * pipe}) exceeds the {len(devices)} available "
+            f"devices?")
+    arr = np.asarray(devices[:n]).reshape(data, pipe, seq, model)
+    return Mesh(arr, axis_names=("data", "pipe", "seq", "model"))
+
+
+def pipe_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """[stages, mb, T, D] pipeline-buffer sharding: stages over 'pipe',
+    microbatch rows over 'data'.  None when the mesh has no pipe axis."""
+    if mesh.shape.get("pipe", 1) <= 1:
+        return None
+    return NamedSharding(mesh, P("pipe", "data"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -46,15 +46,18 @@ def param_spec(path: Tuple[str, ...], leaf) -> P:
     joined = "/".join(path)
     if leaf.ndim < 2:
         return P()
+    # right-align on the trailing (in, out) dims: scan_layers / pipeline
+    # stacking prepends [num_blocks] / [stages, layers_per_stage] axes
+    lead = (None,) * (leaf.ndim - 2)
     for suffix in _COL:
         if joined.endswith(suffix):
-            return P(None, "model")
+            return P(*lead, None, "model")
     for suffix in _ROW:
         if joined.endswith(suffix):
-            return P("model", None)
+            return P(*lead, "model", None)
     for suffix in _VOCAB:
         if joined.endswith(suffix):
-            return P("model", None)
+            return P(*lead, "model", None)
     return P()
 
 
@@ -67,24 +70,31 @@ FSDP_MIN_SIZE = 32768
 
 def _leaf_spec(path: Tuple[str, ...], leaf, mesh: Mesh,
                tp: bool, fsdp: bool, fsdp_min_size: int) -> P:
-    """Resolved per-leaf PartitionSpec: TP rules (divisibility-checked),
-    then the FSDP 'data' dim on the first still-free divisible dim."""
+    """Resolved per-leaf PartitionSpec: pipeline stage axis (dim 0 under a
+    ``pipe_stages`` path), TP rules (divisibility-checked), then the FSDP
+    'data' dim on the first still-free divisible dim."""
     model_size = mesh.shape.get("model", 1)
     spec = param_spec(path, leaf) if tp else P()
     for dim, axis in enumerate(spec):
         if axis == "model" and leaf.shape[dim] % model_size != 0:
             spec = P()
             break
+    names = list(spec) + [None] * (leaf.ndim - len(spec))
+    # pipeline-parallel stage placement is structural, not a TP option:
+    # whenever the mesh has a pipe axis, stage-stacked leaves (marked by
+    # the pipe_stages path component, modules/pipeline.py) split dim 0
+    pipe_size = mesh.shape.get("pipe", 1)
+    if pipe_size > 1 and "pipe_stages" in path and leaf.ndim >= 1 \
+            and names[0] is None and leaf.shape[0] % pipe_size == 0:
+        names[0] = "pipe"
     data_size = mesh.shape.get("data", 1)
     if fsdp and data_size > 1 and leaf.ndim >= 2 \
             and leaf.size >= fsdp_min_size:
-        names = list(spec) + [None] * (leaf.ndim - len(spec))
         for dim in range(leaf.ndim):
             if names[dim] is None and leaf.shape[dim] % data_size == 0:
                 names[dim] = "data"
                 break
-        spec = P(*names)
-    return spec
+    return P(*names)
 
 
 def param_shardings(params, mesh: Mesh, tp: bool = True, fsdp: bool = False,

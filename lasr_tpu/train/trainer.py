@@ -61,7 +61,27 @@ class Trainer:
                  fsdp_params: bool = False,
                  fsdp_min_size: Optional[int] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
-        if self.mesh.shape.get("seq", 1) > 1:
+        pipe_n = self.mesh.shape.get("pipe", 1)
+        if pipe_n > 1:
+            stages = getattr(model, "encoder_pipeline_stages", 1)
+            if stages % pipe_n != 0:
+                raise ValueError(
+                    f"mesh pipe axis is {pipe_n} but the model has "
+                    f"encoder_pipeline_stages={stages}; set the model's "
+                    f"pipeline stages to a multiple of the pipe axis "
+                    f"(-pipeline_parallel N overrides it to N)")
+            if getattr(model, "encoder_pipe_sharding", "absent") is None:
+                from lasr_tpu.parallel.mesh import pipe_sharding
+                model = model.clone(
+                    encoder_pipe_sharding=pipe_sharding(self.mesh))
+        if self.mesh.shape.get("seq", 1) > 1 and pipe_n > 1:
+            # time stays unsharded inside the pipelined stack (sharding
+            # constraints under the stage vmap are not injected); the
+            # seq axis still shards the frontend/decoder activations
+            logging.getLogger(__name__).info(
+                "pipe+seq mesh: encoder activations are not time-sharded "
+                "inside the pipeline stages")
+        elif self.mesh.shape.get("seq", 1) > 1:
             if getattr(model, "encoder_act_sharding", "absent") is None:
                 # sequence parallelism: re-assert (data, seq) activation
                 # sharding at every encoder block so XLA keeps the time
@@ -151,9 +171,12 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self._has_bn = "batch_stats" in variables
-        if self.partition_params or self.fsdp_params:
-            # TP placement over the 'model' axis and/or FSDP over 'data';
-            # the optimizer state (zeros_like) inherits each leaf's sharding
+        if self.partition_params or self.fsdp_params \
+                or self.mesh.shape.get("pipe", 1) > 1:
+            # TP placement over the 'model' axis, FSDP over 'data', and/or
+            # pipeline stage placement over 'pipe' (structural — always on
+            # when the mesh has a pipe axis); the optimizer state
+            # (zeros_like) inherits each leaf's sharding
             from lasr_tpu.parallel.sharding import (param_shardings,
                                                     shard_params)
             params = shard_params(params, self.mesh,
@@ -327,9 +350,11 @@ class Trainer:
             step = step if step is not None else mgr_last.latest_step()
             tree = mgr_last.restore(step, args=ocp.args.StandardRestore(template))
         restored = _tree_to_state(tree, state)
-        if self.partition_params or self.fsdp_params:
-            # re-establish TP/FSDP placement: params/EMA by the sharding
-            # rules, optimizer moments by their live placement in `state`
+        if self.partition_params or self.fsdp_params \
+                or self.mesh.shape.get("pipe", 1) > 1:
+            # re-establish TP/FSDP/pipeline placement: params/EMA by the
+            # sharding rules, optimizer moments by their live placement in
+            # `state`
             from lasr_tpu.parallel.sharding import shard_state_params
             restored = shard_state_params(
                 restored.replace(
