@@ -118,6 +118,13 @@ def main():
         decoder_linear_units=2048, decoder_num_block=6,
         encoder_pos_enc_layer_type="rel_pos",
         encoder_selfattention_layer_type="rel_selfattn",
+        # recompute the attention softmax region in the backward pass
+        # instead of saving (B,H,T,T) intermediates (numerics-identical):
+        # kills their producer->backward-consumer relayout copies.
+        # Measured r3 A/B (tools/probe_remat_attend.py, TPU v5e):
+        # 120.2 -> 113.3 ms/step; level 2 regresses (130.1) — recomputing
+        # scores costs more matmul than the copies it saves.
+        encoder_remat_attend=1,
         dtype=jnp.bfloat16)
     criterion = E2E_Loss(size=odim, padding_idx=-1, smoothing=0.1, rate=0.3)
     frontend = DeviceFrontend(["norm", "fbank:80", "specaug"])

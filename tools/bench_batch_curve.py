@@ -52,6 +52,8 @@ def main():
         decoder_linear_units=2048, decoder_num_block=6,
         encoder_pos_enc_layer_type="rel_pos",
         encoder_selfattention_layer_type="rel_selfattn",
+        encoder_remat_attend=1,   # production default (see bench.py);
+                                  # also what keeps B>=64 inside HBM
         dtype=jnp.bfloat16)
     criterion = E2E_Loss(size=odim, padding_idx=-1, smoothing=0.1, rate=0.3)
     frontend = DeviceFrontend(["norm", "fbank:80", "specaug"])
@@ -78,14 +80,23 @@ def main():
         batch = {k: (jax.device_put(jnp.asarray(v))
                      if isinstance(v, np.ndarray) else v)
                  for k, v in batch.items()}
-        for _ in range(3):
-            state, metrics = trainer.train_step(state, batch)
-        float(jax.device_get(metrics["loss_main"]))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, metrics = trainer.train_step(state, batch)
-        float(jax.device_get(metrics["loss_main"]))
-        dt = time.perf_counter() - t0
+        try:
+            for _ in range(3):
+                state, metrics = trainer.train_step(state, batch)
+            float(jax.device_get(metrics["loss_main"]))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, metrics = trainer.train_step(state, batch)
+            float(jax.device_get(metrics["loss_main"]))
+            dt = time.perf_counter() - t0
+        except Exception as e:  # HBM OOM at large B: record, keep going
+            msg = str(e)
+            rows.append({"batch": B,
+                         "error": ("OOM" if "RESOURCE_EXHAUSTED" in msg
+                                   or "Out of memory" in msg
+                                   else msg.splitlines()[0][:200])})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
         step_ms = 1000 * dt / args.iters
         utts = B * args.iters / dt
         rows.append({"batch": B, "step_ms": round(step_ms, 1),

@@ -128,11 +128,17 @@ def main():
                              "detail": str(e).split("\n")[0][:120]})
             print(json.dumps(rows[-1]), flush=True)
         if "segmented" in tokens_by_mode and "windowed" in tokens_by_mode:
+            # NOTE: compares two different long-form APPROXIMATIONS on an
+            # untrained model (segmented = hard boundaries, windowed =
+            # halo'd windows), so a large edit distance here is expected
+            # noise, not a correctness signal — windowed-encoder numerics
+            # vs the true full forward are pinned by tests/test_decode.py
+            # (test_longform_windowed_encoder_alignment) on window centers.
             from lasr_tpu.utils.text import edit_distance
             a, b = tokens_by_mode["segmented"], tokens_by_mode["windowed"]
             d = edit_distance(a, b)
             print(json.dumps({"secs": secs,
-                              "windowed_vs_full_edit": d,
+                              "windowed_vs_segmented_edit": d,
                               "ref_tokens": len(a)}), flush=True)
     print("\nRTF table (chip=%s):" % jax.devices()[0].platform)
     print(f"{'secs':>6} {'seq RTF':>9} {'pscan RTF':>10} {'segmented':>10}"

@@ -196,7 +196,12 @@ def main():
     with open(dec_path, "w") as f:
         yaml.safe_dump(decode_cfg, f, sort_keys=False)
 
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND to PYTHONPATH: this image's TPU plugin registers via a
+    # sitecustomize that lives on the inherited PYTHONPATH
+    # (/root/.axon_site) — overwriting it leaves JAX_PLATFORMS=axon
+    # pointing at a backend that never registers (r3 sweep failure mode)
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep +
+               os.environ.get("PYTHONPATH", ""))
     exp = os.path.join(root, "exp")
     if not args.skip_train:
         t0 = time.time()
