@@ -148,6 +148,63 @@ def test_pipeline_backward_matches_microbatched():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_pipeline_composes_with_tp_and_fsdp(tmp_path):
+    """(data=2, pipe=2, model=2) mesh with FSDP on: the full composition
+    (stage sharding over 'pipe' + Megatron TP over 'model' + ZeRO over
+    'data') matches single-device numerics through 3 steps."""
+    from lasr_tpu.data.frontend import DeviceFrontend
+    from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
+    from lasr_tpu.models.losses import E2E_Loss
+    from lasr_tpu.parallel.mesh import make_mesh
+    from lasr_tpu.train.optimizer import Adam, WarmupScheduler
+    from lasr_tpu.train.trainer import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(5)
+    B, S = 8, 8000
+    batch = {
+        "wav_array": (0.1 * rng.standard_normal((B, S))).astype(np.float32),
+        "wav_len": np.full((B,), S, np.int32),
+        "token_id": rng.integers(6, 20, (B, 6)).astype(np.int32),
+        "token_len": np.full((B,), 6, np.int32),
+        "n_utts": B,
+    }
+
+    def make(mesh, tp, fsdp):
+        model = E2E_Conformer_CTC(
+            idim=80, odim=20,
+            encoder_attention_dim=16, encoder_attention_heads=2,
+            encoder_linear_units=32, encoder_num_blocks=2,
+            encoder_cnn_kernel=7,
+            encoder_pos_enc_layer_type="rel_pos",
+            encoder_selfattention_layer_type="rel_selfattn",
+            encoder_pipeline_stages=2, encoder_pipeline_microbatches=2,
+            decoder_attention_dim=16, decoder_attention_heads=2,
+            decoder_linear_units=32, decoder_num_block=1,
+            encoder_dropout_rate=0.0, decoder_dropout_rate=0.0,
+            ctc_dropout=0.0)
+        crit = E2E_Loss(size=20, padding_idx=-1, smoothing=0.1, rate=0.3)
+        sched = WarmupScheduler(model_size=16, factor=1.0, warm_step=20)
+        return Trainer(model, crit, Adam(betas=(0.9, 0.98)).make(sched),
+                       DeviceFrontend(["norm", "fbank:80"]),
+                       mesh=mesh, log_interval=100,
+                       partition_params=tp, fsdp_params=fsdp,
+                       fsdp_min_size=0)
+
+    tr_c = make(make_mesh(data=2, pipe=2, model=2,
+                          devices=jax.devices()[:8]), tp=True, fsdp=True)
+    s_c = tr_c.init_state(batch)
+    tr_1 = make(make_mesh(data=1, devices=jax.devices()[:1]),
+                tp=False, fsdp=False)
+    s_1 = tr_1.init_state(batch)
+    for _ in range(3):
+        s_c, m_c = tr_c.train_step(s_c, batch)
+        s_1, m_1 = tr_1.train_step(s_1, batch)
+    np.testing.assert_allclose(float(m_c["loss_main"]),
+                               float(m_1["loss_main"]), rtol=2e-4)
+
+
 def test_pipeline_trainer_on_pipe_mesh_matches_single(tmp_path):
     """(data=2, pipe=2) mesh: stage-stacked params shard over 'pipe', the
     step runs, and numerics match the single-device run of the same
