@@ -212,6 +212,10 @@ class E2E_Conformer_CTC(E2EBase):
     encoder_remat: bool = False
     encoder_use_pallas_attention: bool = False
     encoder_remat_attend: int = 0   # see MultiHeadedAttention.remat_attend
+    # "table" (reference parity) or "rotated" (one-matmul fold in training,
+    # positional dropout in rotated score space — documented deviation);
+    # see ConformerEncoder.pos_dropout_mode
+    encoder_pos_dropout_mode: str = "table"
     encoder_scan_layers: bool = False
     # pipeline parallelism (modules/pipeline.py): stage-stacked encoder
     # blocks scheduled GPipe-style; the stage axis shards over the mesh
@@ -248,6 +252,7 @@ class E2E_Conformer_CTC(E2EBase):
             remat=self.encoder_remat,
             use_pallas_attention=self.encoder_use_pallas_attention,
             remat_attend=self.encoder_remat_attend,
+            pos_dropout_mode=self.encoder_pos_dropout_mode,
             scan_layers=self.encoder_scan_layers,
             pipeline_stages=self.encoder_pipeline_stages,
             pipeline_microbatches=self.encoder_pipeline_microbatches,

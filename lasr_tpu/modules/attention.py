@@ -230,6 +230,20 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     # training breaks the identity, so training keeps the fold/rel_shift
     # paths and this one triggers only when deterministic).
     rot_fold: bool = False
+    # rot_fold_train extends the fold to TRAINING forwards, replacing the
+    # reference's per-(distance, feature) dropout on the positional table
+    # (embedding.py:197 — incompatible with the fold: the mask entangles
+    # the query/key indices) with an expectation-equal dropout on the
+    # rotated position-query u (per (batch, query, head, frequency)) at
+    # ``pos_dropout_rate``.  A DOCUMENTED DEVIATION from reference
+    # regularization semantics, selected via the encoder's
+    # pos_dropout_mode="rotated"; deterministic forwards are exact either
+    # way.  Why: the table-dropout semantics force either the O(T²M)
+    # skewed table or a per-layer rel-shift on (B,H,T,2T-1) scores — the
+    # single largest HBM cost of the training step (13.5 ms/step of pure
+    # skew traffic at recipe shapes, tools/roofline.py).
+    rot_fold_train: bool = False
+    pos_dropout_rate: float = 0.0
 
     def setup(self):
         super().setup()
@@ -238,6 +252,7 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         init = nn.initializers.xavier_uniform()
         self.pos_bias_u = self.param("pos_bias_u", init, (self.n_head, self.d_k))
         self.pos_bias_v = self.param("pos_bias_v", init, (self.n_head, self.d_k))
+        self.pos_dropout = nn.Dropout(self.pos_dropout_rate)
 
     def _pallas_ok(self, query, key, pos_emb, mask, deterministic) -> bool:
         if not self.use_pallas or self.zero_triu:
@@ -298,6 +313,10 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         zs, zc = z[..., 0::2], z[..., 1::2]
         u = jnp.stack([zs * si + zc * ci, zc * si - zs * ci], axis=-1)
         u = u.reshape(z.shape)
+        if not deterministic and self.rot_fold_train \
+                and self.pos_dropout_rate > 0:
+            # rotated-space positional dropout (see rot_fold_train)
+            u = self.pos_dropout(u, deterministic=False)
         qcat = jnp.concatenate([q_u, u], axis=-1)        # (B,T,H,dk+M)
         vb = jnp.broadcast_to(jnp.asarray(V, k.dtype)[None, :, None, :],
                               (B, T, H, M))
@@ -325,7 +344,8 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
         q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
         T1, T2 = q.shape[1], k.shape[1]
-        if (self.rot_fold and deterministic and not self.zero_triu
+        if (self.rot_fold and (deterministic or self.rot_fold_train)
+                and not self.zero_triu
                 and T1 == T2 and pos_emb is not None
                 and pos_emb.shape[0] == 1
                 and pos_emb.shape[1] == 2 * T1 - 1):

@@ -88,6 +88,11 @@ class ConformerEncoderLayer(nn.Module):
     use_pallas_attention: bool = False
     remat_attend: int = 0
     rot_fold: bool = False   # see RelPositionMultiHeadedAttention.rot_fold
+    # see RelPositionMultiHeadedAttention.rot_fold_train: positional
+    # dropout in rotated score space, enabling the one-matmul fold in
+    # training (encoder pos_dropout_mode="rotated")
+    rot_fold_train: bool = False
+    pos_dropout_rate: float = 0.0
     # tap-matmul form for every in-layer conv (ConvolutionModule and the
     # conv positionwise types) — required under pipeline parallelism, see
     # ConvolutionModule.matmul_form / tools/spmd_conv_repro.py
@@ -148,6 +153,8 @@ class ConformerEncoderLayer(nn.Module):
                 use_pallas=self.use_pallas_attention,
                 remat_attend=self.remat_attend,
                 rot_fold=self.rot_fold,
+                rot_fold_train=self.rot_fold_train,
+                pos_dropout_rate=self.pos_dropout_rate,
                 dtype=self.dtype, name="self_attn")(
                 x, x, x, pos_emb, mask, deterministic=deterministic,
                 pos_table=pos_table)
@@ -221,6 +228,8 @@ class _ScanConformerLayer(nn.Module):
     use_pallas_attention: bool = False
     remat_attend: int = 0
     rot_fold: bool = False
+    rot_fold_train: bool = False
+    pos_dropout_rate: float = 0.0
     conv_matmul_form: bool = False
     remat: bool = False
     act_sharding: Optional[object] = None
@@ -239,7 +248,9 @@ class _ScanConformerLayer(nn.Module):
             self.use_cnn_module, self.cnn_module_kernel,
             self.normalize_before, self.concat_after,
             self.use_pallas_attention, remat_attend=self.remat_attend,
-            rot_fold=self.rot_fold, conv_matmul_form=self.conv_matmul_form,
+            rot_fold=self.rot_fold, rot_fold_train=self.rot_fold_train,
+            pos_dropout_rate=self.pos_dropout_rate,
+            conv_matmul_form=self.conv_matmul_form,
             act_sharding=self.act_sharding,
             dtype=self.dtype, name="block")
         x = layer(carry.x, mask, pos_emb, carry.deterministic, conv_zero_mask,
@@ -269,6 +280,21 @@ class ConformerEncoder(nn.Module):
     # the encoder's rel_pos PE is exactly the standard sinusoid table, so
     # the rotated-fold deterministic fast path is sound to enable here
     rot_fold: bool = True
+    # where positional dropout applies during training (rel_pos only):
+    #   "table"   — on the (1, 2T-1, D) positional table, per (distance,
+    #               feature) entry: exact reference semantics
+    #               (embedding.py:197), scored via the skewed-table fold
+    #               or per-layer rel-shift.
+    #   "rotated" — on the rotated position-query u, per (batch, query,
+    #               head, frequency) entry, same rate, expectation-equal;
+    #               training then uses the one-matmul rotated fold: no
+    #               O(T²M) skew table, no (B,H,T,2T-1) rel-shift — the
+    #               dominant HBM cost of the training step disappears
+    #               (tools/roofline.py books 13.5 ms/step of skew traffic
+    #               at recipe shapes).  DOCUMENTED DEVIATION from the
+    #               reference's regularization; deterministic forwards
+    #               (decode/eval) are bit-identical between modes.
+    pos_dropout_mode: str = "table"
     selfattention_layer_type: str = "selfattn"
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
@@ -306,12 +332,21 @@ class ConformerEncoder(nn.Module):
                                             dtype=self.dtype)
         if self.pos_enc_layer_type == "rel_pos":
             assert self.selfattention_layer_type == "rel_selfattn"
-            return RelPositionalEncoding(self.attention_dim,
-                                         self.positional_dropout_rate,
-                                         dtype=self.dtype)
+            return RelPositionalEncoding(
+                self.attention_dim, self.positional_dropout_rate,
+                drop_pos=(self.pos_dropout_mode == "table"),
+                dtype=self.dtype)
         raise ValueError(f"unknown pos_enc_layer: {self.pos_enc_layer_type}")
 
     def setup(self):
+        if self.pos_dropout_mode not in ("table", "rotated"):
+            raise ValueError(
+                f"unknown pos_dropout_mode: {self.pos_dropout_mode!r}")
+        if self.pos_dropout_mode == "rotated" and not (
+                self.pos_enc_layer_type == "rel_pos" and self.rot_fold):
+            raise ValueError(
+                "pos_dropout_mode='rotated' needs pos_enc_layer_type="
+                "'rel_pos' with rot_fold enabled")
         pos_enc = self._pos_enc()
         if self.input_layer == "conv2d":
             self.embed = Conv2dSubsampling(
@@ -344,6 +379,9 @@ class ConformerEncoder(nn.Module):
             remat_attend=self.remat_attend,
             rot_fold=(self.rot_fold
                       and self.pos_enc_layer_type == "rel_pos"),
+            rot_fold_train=(self.pos_dropout_mode == "rotated"),
+            pos_dropout_rate=(self.positional_dropout_rate
+                              if self.pos_dropout_mode == "rotated" else 0.0),
             act_sharding=self.act_sharding,
             dtype=self.dtype)
         if self.pipeline_stages > 1:
@@ -454,6 +492,7 @@ class ConformerEncoder(nn.Module):
         # long-form (minutes-scale) encoder forwards fit in HBM.
         pos_table = None
         if rel and pos_emb is not None and not self.use_pallas_attention \
+                and self.pos_dropout_mode == "table" \
                 and pos_emb.shape[0] == 1 and pos_emb.shape[1] == 2 * T - 1 \
                 and T <= 1024:
             from lasr_tpu.modules.attention import build_skewed_pos_table

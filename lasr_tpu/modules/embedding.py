@@ -107,6 +107,12 @@ class RelPositionalEncoding(nn.Module):
     dropout_rate: float = 0.1
     max_dist: int = -1
     max_len: int = 5000
+    # apply dropout to the returned pos table (reference embedding.py:197).
+    # The conformer encoder's pos_dropout_mode="rotated" sets this False
+    # and applies positional dropout in rotated score space instead (see
+    # RelPositionMultiHeadedAttention.rot_fold_train); x keeps its dropout
+    # either way.
+    drop_pos: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -126,7 +132,7 @@ class RelPositionalEncoding(nn.Module):
         x = x * math.sqrt(self.d_model)
         drop = nn.Dropout(self.dropout_rate)
         return (drop(x, deterministic=deterministic),
-                drop(pos_emb, deterministic=deterministic))
+                drop(pos_emb, deterministic=deterministic or not self.drop_pos))
 
 
 class ConvPosEmbedding(nn.Module):

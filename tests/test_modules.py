@@ -291,6 +291,76 @@ def test_rot_fold_matches_rel_shift_on_sinusoid_pe():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def _tiny_conformer(pos_dropout_mode, dropout_rate=0.0,
+                    positional_dropout_rate=0.0):
+    return ConformerEncoder(
+        idim=12, attention_dim=16, attention_heads=2, linear_units=32,
+        num_blocks=2, dropout_rate=dropout_rate,
+        positional_dropout_rate=positional_dropout_rate,
+        pos_enc_layer_type="rel_pos",
+        selfattention_layer_type="rel_selfattn", use_cnn_module=True,
+        cnn_module_kernel=7, pos_dropout_mode=pos_dropout_mode)
+
+
+def test_pos_dropout_mode_rotated_equals_table_at_rate_zero():
+    """Training forward: with positional dropout rate 0 the rotated mode
+    (one-matmul fold) must equal the table mode (skewed-table fold) —
+    same math, different factorization.  Other dropouts stay live and
+    consume identical rng streams in both modes."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 33, 12)), jnp.float32)
+    lens = jnp.asarray([33, 21])
+    outs = []
+    for mode in ("table", "rotated"):
+        enc = _tiny_conformer(mode, dropout_rate=0.2)
+        vars_ = enc.init(jax.random.PRNGKey(1), x, lens)
+        (h, hl), _ = enc.apply(vars_, x, lens, deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(7)},
+                               mutable=["batch_stats"])
+        outs.append(np.asarray(h))
+    np.testing.assert_allclose(outs[0], outs[1], atol=3e-5)
+
+
+def test_pos_dropout_mode_rotated_training_behaviour():
+    """Rotated-space positional dropout: training forwards vary with the
+    dropout rng, deterministic forwards are mode-independent, and the
+    positional projection still receives gradient."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 33, 12)), jnp.float32)
+    lens = jnp.asarray([33, 21])
+    enc = _tiny_conformer("rotated", positional_dropout_rate=0.5)
+    vars_ = enc.init(jax.random.PRNGKey(1), x, lens)
+    (h1, _), _ = enc.apply(vars_, x, lens, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+    (h2, _), _ = enc.apply(vars_, x, lens, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(3)},
+                           mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(h1), np.asarray(h2))
+
+    # deterministic forward: exact across modes (dropout placement is a
+    # training-only difference)
+    det_r, _ = enc.apply(vars_, x, lens, deterministic=True)
+    enc_t = _tiny_conformer("table", positional_dropout_rate=0.5)
+    det_t, _ = enc_t.apply(vars_, x, lens, deterministic=True)
+    np.testing.assert_allclose(np.asarray(det_r), np.asarray(det_t),
+                               atol=1e-6)
+
+    def loss(params):
+        (h, _), _ = enc.apply(
+            {"params": params, "batch_stats": vars_["batch_stats"]},
+            x, lens, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        return jnp.sum(h * h)
+
+    grads = jax.grad(loss)(vars_["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    pos_kernel = [float(jnp.abs(v).max()) for p, v in flat
+                  if "linear_pos" in jax.tree_util.keystr(p)]
+    assert pos_kernel and all(g > 0 for g in pos_kernel)
+
+
 def test_conformer_solo_pad_matches_solo_encode():
     """solo_pad=True batched encode == encoding each row alone (the decode
     contract: reference decode is one-utterance-at-a-time)."""
