@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-3 sweep, part 3: the pos_dropout_mode A/B (rotated-space
+# positional dropout -> one-matmul rel-pos scoring in training) plus a
+# fresh post-remat-landing op profile under both modes.
+# STRICTLY sequential — concurrent axon tunnel clients get killed.
+#
+# Usage: bash tools/run_round3_benches_part3.sh
+
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_out bench_results_r03
+
+run() {
+    local name="$1"; shift
+    echo "=== $name: $* (started $(date +%H:%M:%S))" | tee -a bench_results_r03/sweep3.log
+    timeout "${STEP_TIMEOUT:-1800}" "$@" > "bench_out/$name.log" 2>&1
+    local rc=$?
+    echo "=== $name: exit $rc ($(date +%H:%M:%S))" | tee -a bench_results_r03/sweep3.log
+    tail -3 "bench_out/$name.log" | tee -a bench_results_r03/sweep3.log
+    cp "bench_out/$name.log" "bench_results_r03/$name.log"
+}
+
+run pos_dropout_ab python tools/probe_pos_dropout_mode.py
+
+run xprof_remat1 python tools/xprof_ops.py --remat-attend 1
+
+run xprof_rotated python tools/xprof_ops.py --remat-attend 1 \
+    --pos-dropout-mode rotated
+
+echo "sweep3 done $(date +%H:%M:%S)" | tee -a bench_results_r03/sweep3.log

@@ -4,7 +4,7 @@ Captures a device trace with jax.profiler and aggregates per-op durations
 from the perfetto trace json, so we can see exactly where the step time
 goes (fusion names carry the originating HLO ops). Run:
 
-    python tools/xprof_ops.py [--eval]
+    python tools/xprof_ops.py [--remat-attend N] [--pos-dropout-mode M]
 """
 
 import argparse
@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step():
+def build_step(remat_attend=1, pos_dropout_mode="table"):
     from lasr_tpu.utils.env import respect_jax_platforms_env
     respect_jax_platforms_env()
     import jax
@@ -46,6 +46,8 @@ def build_step():
         decoder_linear_units=2048, decoder_num_block=6,
         encoder_pos_enc_layer_type="rel_pos",
         encoder_selfattention_layer_type="rel_selfattn",
+        encoder_remat_attend=remat_attend,
+        encoder_pos_dropout_mode=pos_dropout_mode,
         dtype=jnp.bfloat16)
     criterion = E2E_Loss(size=odim, padding_idx=-1, smoothing=0.1, rate=0.3)
     frontend = DeviceFrontend(["norm", "fbank:80", "specaug"])
@@ -118,10 +120,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--top", type=int, default=45)
+    ap.add_argument("--remat-attend", type=int, default=1)
+    ap.add_argument("--pos-dropout-mode", default="table")
     args = ap.parse_args()
 
     import jax
-    trainer, state, batch = build_step()
+    trainer, state, batch = build_step(args.remat_attend,
+                                       args.pos_dropout_mode)
     # warmup/compile
     for _ in range(2):
         state, metrics = trainer.train_step(state, batch)
