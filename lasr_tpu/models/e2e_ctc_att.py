@@ -216,6 +216,9 @@ class E2E_Conformer_CTC(E2EBase):
     # positional dropout in rotated score space — documented deviation);
     # see ConformerEncoder.pos_dropout_mode
     encoder_pos_dropout_mode: str = "table"
+    # fused Pallas flash kernel for rotated-fold scoring (see
+    # ConformerEncoder.rot_fold_pallas)
+    encoder_rot_fold_pallas: bool = False
     encoder_scan_layers: bool = False
     # pipeline parallelism (modules/pipeline.py): stage-stacked encoder
     # blocks scheduled GPipe-style; the stage axis shards over the mesh
@@ -253,6 +256,7 @@ class E2E_Conformer_CTC(E2EBase):
             use_pallas_attention=self.encoder_use_pallas_attention,
             remat_attend=self.encoder_remat_attend,
             pos_dropout_mode=self.encoder_pos_dropout_mode,
+            rot_fold_pallas=self.encoder_rot_fold_pallas,
             scan_layers=self.encoder_scan_layers,
             pipeline_stages=self.encoder_pipeline_stages,
             pipeline_microbatches=self.encoder_pipeline_microbatches,

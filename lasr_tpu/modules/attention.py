@@ -244,6 +244,14 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
     # skew traffic at recipe shapes, tools/roofline.py).
     rot_fold_train: bool = False
     pos_dropout_rate: float = 0.0
+    # run the rotated fold through the fused Pallas flash kernel
+    # (ops/rot_attention.py): blockwise online softmax, the (B,H,T,T)
+    # score tensor never reaches HBM in fwd or bwd.  Shift-free by
+    # construction (the fold has no rel-shift).  Applies whenever the
+    # fold itself applies AND the mask is a key-prefix padding mask AND
+    # attention maps aren't being harvested; falls back to the XLA fold
+    # otherwise.
+    rot_fold_pallas: bool = False
 
     def setup(self):
         super().setup()
@@ -317,6 +325,28 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
                 and self.pos_dropout_rate > 0:
             # rotated-space positional dropout (see rot_fold_train)
             u = self.pos_dropout(u, deterministic=False)
+        if (self.rot_fold_pallas
+                and (deterministic or self.dropout_rate == 0.0)
+                and not self.is_mutable_collection("intermediates")
+                and (mask is None
+                     or (mask.ndim == 3 and mask.shape[1] == 1))):
+            from lasr_tpu.ops.rot_attention import rot_attention_context
+            B, T = q_u.shape[:2]
+            H, dk = self.n_head, self.d_k
+
+            def bh(x):
+                return jnp.moveaxis(x, 2, 1).reshape(B * H, T, x.shape[-1])
+
+            if mask is None:
+                kv_len = jnp.full((B,), T, jnp.int32)
+            else:
+                # key-prefix padding mask (True = valid); padding trails
+                kv_len = jnp.sum(mask[:, 0, :], axis=-1).astype(jnp.int32)
+            vt = jnp.asarray(V, k.dtype)                 # (T, M) static
+            ctx = rot_attention_context(
+                bh(q_u), bh(u), bh(k), bh(v), vt, jnp.repeat(kv_len, H))
+            ctx = jnp.moveaxis(ctx.reshape(B, H, T, dk), 1, 2)
+            return self.linear_out(ctx.reshape(B, T, self.n_feat))
         qcat = jnp.concatenate([q_u, u], axis=-1)        # (B,T,H,dk+M)
         vb = jnp.broadcast_to(jnp.asarray(V, k.dtype)[None, :, None, :],
                               (B, T, H, M))

@@ -93,6 +93,7 @@ class ConformerEncoderLayer(nn.Module):
     # training (encoder pos_dropout_mode="rotated")
     rot_fold_train: bool = False
     pos_dropout_rate: float = 0.0
+    rot_fold_pallas: bool = False  # fused flash kernel for the fold
     # tap-matmul form for every in-layer conv (ConvolutionModule and the
     # conv positionwise types) — required under pipeline parallelism, see
     # ConvolutionModule.matmul_form / tools/spmd_conv_repro.py
@@ -155,6 +156,7 @@ class ConformerEncoderLayer(nn.Module):
                 rot_fold=self.rot_fold,
                 rot_fold_train=self.rot_fold_train,
                 pos_dropout_rate=self.pos_dropout_rate,
+                rot_fold_pallas=self.rot_fold_pallas,
                 dtype=self.dtype, name="self_attn")(
                 x, x, x, pos_emb, mask, deterministic=deterministic,
                 pos_table=pos_table)
@@ -230,6 +232,7 @@ class _ScanConformerLayer(nn.Module):
     rot_fold: bool = False
     rot_fold_train: bool = False
     pos_dropout_rate: float = 0.0
+    rot_fold_pallas: bool = False
     conv_matmul_form: bool = False
     remat: bool = False
     act_sharding: Optional[object] = None
@@ -250,6 +253,7 @@ class _ScanConformerLayer(nn.Module):
             self.use_pallas_attention, remat_attend=self.remat_attend,
             rot_fold=self.rot_fold, rot_fold_train=self.rot_fold_train,
             pos_dropout_rate=self.pos_dropout_rate,
+            rot_fold_pallas=self.rot_fold_pallas,
             conv_matmul_form=self.conv_matmul_form,
             act_sharding=self.act_sharding,
             dtype=self.dtype, name="block")
@@ -295,6 +299,10 @@ class ConformerEncoder(nn.Module):
     #               reference's regularization; deterministic forwards
     #               (decode/eval) are bit-identical between modes.
     pos_dropout_mode: str = "table"
+    # run rotated-fold scoring through the fused Pallas flash kernel
+    # (ops/rot_attention.py) wherever the fold applies — deterministic
+    # forwards, and training when pos_dropout_mode="rotated"
+    rot_fold_pallas: bool = False
     selfattention_layer_type: str = "selfattn"
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
@@ -382,6 +390,7 @@ class ConformerEncoder(nn.Module):
             rot_fold_train=(self.pos_dropout_mode == "rotated"),
             pos_dropout_rate=(self.positional_dropout_rate
                               if self.pos_dropout_mode == "rotated" else 0.0),
+            rot_fold_pallas=self.rot_fold_pallas,
             act_sharding=self.act_sharding,
             dtype=self.dtype)
         if self.pipeline_stages > 1:

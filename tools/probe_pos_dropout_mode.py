@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--modes", nargs="+", default=["table", "rotated"])
+    ap.add_argument("--modes", nargs="+",
+                    default=["table", "rotated", "rotated+pallas"],
+                    help="pos_dropout_mode, optionally '+pallas' for the "
+                         "fused rot-fold flash kernel")
     ap.add_argument("--remat-attend", type=int, default=1,
                     help="production default remat level (both arms)")
     ap.add_argument("--iters", type=int, default=15)
@@ -63,6 +66,7 @@ def main():
     }
     rows = []
     for mode in args.modes:
+        base, _, suffix = mode.partition("+")
         model = E2E_Conformer_CTC(
             idim=80, odim=odim,
             encoder_attention_dim=320, encoder_attention_heads=8,
@@ -72,7 +76,8 @@ def main():
             encoder_pos_enc_layer_type="rel_pos",
             encoder_selfattention_layer_type="rel_selfattn",
             encoder_remat_attend=args.remat_attend,
-            encoder_pos_dropout_mode=mode,
+            encoder_pos_dropout_mode=base,
+            encoder_rot_fold_pallas=(suffix == "pallas"),
             dtype=jnp.bfloat16)
         criterion = E2E_Loss(size=odim, padding_idx=-1, smoothing=0.1,
                              rate=0.3)
