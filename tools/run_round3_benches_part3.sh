@@ -27,4 +27,10 @@ run xprof_remat1 python tools/xprof_ops.py --remat-attend 1
 run xprof_rotated python tools/xprof_ops.py --remat-attend 1 \
     --pos-dropout-mode rotated
 
+# attribute the loop-fusion / copy time to source ops (optimizer vs
+# layers) — decides whether a flat-buffer fused Adam+EMA is worth it
+run xprof_detail_loop python tools/xprof_detail.py --cat "loop fusion" --top 40
+
+run xprof_detail_copy python tools/xprof_detail.py --cat "data formatting" --top 40
+
 echo "sweep3 done $(date +%H:%M:%S)" | tee -a bench_results_r03/sweep3.log
