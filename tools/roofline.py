@@ -24,6 +24,8 @@ lasr/modules/net/transformer/attention.py:141-203 for the rel-pos
 attention term structure).
 
 Run: python tools/roofline.py [--measured-ms 115.9] [--xla-check]
+     [--pos-dropout-mode table|rotated|rotated+pallas]  (reprices the
+     attention area for the rotated fold / the fused flash kernel)
 """
 
 import argparse
@@ -92,7 +94,7 @@ class Table:
         return sum(r[key] for r in self.rows)
 
 
-def build(B=32, secs=15.6, L=64, V=5000):
+def build(B=32, secs=15.6, L=64, V=5000, mode="table"):
     d, H, ffn, nenc, ndec, cker = 320, 8, 2048, 12, 6, 31
     dk = d // H
     Tw = int(secs * 16000)
@@ -126,11 +128,23 @@ def build(B=32, secs=15.6, L=64, V=5000):
            weight_params=ffn * d)
     t.gemm("enc attn q/k/v/out proj", M, d, d, count=4 * nenc,
            weight_params=d * d)
-    t.gemm("enc attn pos proj (2T-1 rows)", (2 * T - 1), d, d,
-           count=nenc, weight_params=d * d)
-    # scores: contraction over dk=40 (pad to 128) — the known-bad shape
-    t.gemm("enc attn ac scores", B * H * T, dk, T, count=nenc)
-    t.gemm("enc attn bd rel scores", B * H * T, dk, 2 * T - 1, count=nenc)
+    if mode == "table":
+        t.gemm("enc attn pos proj (2T-1 rows)", (2 * T - 1), d, d,
+               count=nenc, weight_params=d * d)
+        # scores: contraction over dk=40 (pad to 128) — the known-bad shape
+        t.gemm("enc attn ac scores", B * H * T, dk, T, count=nenc)
+        t.gemm("enc attn bd rel scores", B * H * T, dk, 2 * T - 1,
+               count=nenc)
+    else:
+        # rotated fold: z = q_v @ W_pos (per head), rotate (elementwise),
+        # then ONE merged score matmul over dk+d = 360 lanes.  No 2T-1
+        # table projection, no skew.
+        t.gemm("enc rot z proj", B * H * T, dk, d, count=nenc,
+               weight_params=d * d)
+        t.bytes_only("enc rot u rotation traffic",
+                     nenc * B * T * d * BF16 * 2 * 3,
+                     "u (B,T,H*dk->d) rw fwd + bwd")
+        t.gemm("enc attn merged scores", B * H * T, dk + d, T, count=nenc)
     t.gemm("enc attn AV", B * H * T, T, dk, count=nenc)
     t.gemm("enc conv pw1 (GLU)", M, d, 2 * d, count=nenc,
            weight_params=d * 2 * d)
@@ -151,13 +165,16 @@ def build(B=32, secs=15.6, L=64, V=5000):
                  6 * nenc * M * d * BF16 * 2 * 3,
                  "6 rw/block fwd, x3 for bwd")
     # score-tensor elementwise traffic: softmax+mask over (B,H,T,T)
-    # (1 rw fwd, x3 bwd) and the rel-shift skew copy of (B,H,T,2T-1)
-    t.bytes_only("enc attn softmax/mask traffic",
-                 nenc * B * H * T * T * BF16 * 2 * 3,
-                 "(B,H,T,T) rw fwd + bwd")
-    t.bytes_only("enc attn rel-shift skew copy",
-                 nenc * B * H * T * (2 * T - 1) * BF16 * 2 * 3,
-                 "pad/reshape copy of bd")
+    # (1 rw fwd, x3 bwd); in the flash kernel scores never reach HBM
+    if mode != "rotated+pallas":
+        t.bytes_only("enc attn softmax/mask traffic",
+                     nenc * B * H * T * T * BF16 * 2 * 3,
+                     "(B,H,T,T) rw fwd + bwd")
+    if mode == "table":
+        # the rel-shift skew copy of (B,H,T,2T-1)
+        t.bytes_only("enc attn rel-shift skew copy",
+                     nenc * B * H * T * (2 * T - 1) * BF16 * 2 * 3,
+                     "pad/reshape copy of bd")
 
     # ---- decoder blocks ----
     Md = B * L
@@ -197,10 +214,12 @@ def main():
     ap.add_argument("--xla-check", action="store_true",
                     help="cross-check analytic FLOPs vs XLA HLO cost "
                          "analysis of the real jitted step")
+    ap.add_argument("--pos-dropout-mode", default="table",
+                    choices=["table", "rotated", "rotated+pallas"])
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
-    t, dims = build()
+    t, dims = build(mode=args.pos_dropout_mode)
     rows = sorted(t.rows, key=lambda r: -max(r["attain_ms"], r["bytes_ms"]))
     if not args.json:
         print(f"shapes: {dims}")
