@@ -33,4 +33,13 @@ run xprof_detail_loop python tools/xprof_detail.py --cat "loop fusion" --top 40
 
 run xprof_detail_copy python tools/xprof_detail.py --cat "data formatting" --top 40
 
+# the part-2 rehearsal train (~80 s/epoch through the tunnel) outruns its
+# 2 h budget around epoch 89/150; finish its average+decode stages on the
+# checkpoints the timeout left behind
+if [ -d bench_out/rehearsal/exp/checkpoints ] && \
+   ! grep -q '"stage": "decode"' bench_out/rehearsal.log 2>/dev/null; then
+    STEP_TIMEOUT=3600 run rehearsal_decode python tools/recipe_rehearsal.py \
+        --root bench_out/rehearsal --skip-gen --skip-train
+fi
+
 echo "sweep3 done $(date +%H:%M:%S)" | tee -a bench_results_r03/sweep3.log
