@@ -20,6 +20,10 @@ run() {
     cp "bench_out/$name.log" "bench_results_r03/$name.log"
 }
 
+# Mosaic-lowering numerics gate first: the interpret-mode tests can't
+# catch compiled-mode bugs, and the A/B would otherwise time wrong math
+run rot_kernel_check python tools/check_rot_kernel_tpu.py
+
 run pos_dropout_ab python tools/probe_pos_dropout_mode.py
 
 run xprof_remat1 python tools/xprof_ops.py --remat-attend 1
