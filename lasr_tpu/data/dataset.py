@@ -83,7 +83,8 @@ class AudioDataSet:
                  pad_audio=0, pad_feats=0,
                  sample_bucket: int = SAMPLE_RATE,
                  token_bucket: int = 8,
-                 batch_pad_multiple: int = 1):
+                 batch_pad_multiple: int = 1,
+                 cache_audio_mb: int = 0):
         if isinstance(wav_list, str):
             wav_list = [wav_list]
         if isinstance(text_list, str):
@@ -99,6 +100,17 @@ class AudioDataSet:
         self.sample_bucket = sample_bucket
         self.token_bucket = token_bucket
         self.batch_pad_multiple = batch_pad_multiple
+        # decoded-audio RAM cache (MB budget; 0 = off): epochs re-read the
+        # same files, and on hosts where decode bandwidth is scarce the
+        # codec work dominates the epoch (the reference hides this behind
+        # num_workers=16 DataLoader processes, bin/train_lighting.py:232).
+        # Cached entries are the post-resample 16 kHz float32 waves, BEFORE
+        # soxspeed (whose per-epoch ratio is seed-dependent), so the cache
+        # stays valid across epochs.  Insert-until-budget: the epoch's
+        # access set is identical every pass, so eviction buys nothing.
+        self.cache_audio_mb = cache_audio_mb
+        self._wav_cache: Dict[str, np.ndarray] = {}
+        self._wav_cache_bytes = 0
         self.train_set: List = []
 
     def __len__(self) -> int:
@@ -152,9 +164,29 @@ class AudioDataSet:
     # ---- batch assembly ----
 
     def _read_waves(self, items: Sequence[Dict]):
-        """Decode the batch's audio: native C++ thread-pool loader when
-        available (all-WAV batches), python reader otherwise."""
+        """Batch audio as 16 kHz float32 waves, via the decoded-audio cache
+        when enabled (see ``cache_audio_mb``)."""
         paths = [it["wav"] for it in items]
+        if not self.cache_audio_mb:
+            return self._decode_waves(paths)
+        missing = [p for p in paths if p not in self._wav_cache]
+        decoded = {}
+        if missing:
+            decoded = dict(zip(missing, self._decode_waves(missing)))
+            budget = self.cache_audio_mb * 2 ** 20
+            for p, w in decoded.items():
+                if self._wav_cache_bytes + w.nbytes <= budget:
+                    # copy: the native loader hands out views into the
+                    # whole (B, max_s) batch buffer — caching the view
+                    # would pin the full buffer
+                    self._wav_cache[p] = np.ascontiguousarray(w)
+                    self._wav_cache_bytes += w.nbytes
+        return [self._wav_cache[p] if p in self._wav_cache
+                else decoded[p] for p in paths]
+
+    def _decode_waves(self, paths: Sequence[str]):
+        """Decode audio paths: native C++ thread-pool loader when
+        available (all-WAV/FLAC batches), python reader otherwise."""
         if all(p.lower().endswith((".wav", ".flac")) for p in paths):
             try:
                 from lasr_tpu.data import native_loader
@@ -375,10 +407,12 @@ class BatchAudioDataSet(AudioDataSet):
                  max_duration=30, min_duration=0.3, text_freq=0.08,
                  min_token=0, max_token=5000,
                  sample_bucket: int = SAMPLE_RATE, token_bucket: int = 8,
-                 batch_pad_multiple: int = 1, shuffle_seed: int = 1):
+                 batch_pad_multiple: int = 1, shuffle_seed: int = 1,
+                 cache_audio_mb: int = 0):
         super().__init__(wav_list, text_list, feats_list, tokenizer,
                          audio_trans, feats_trans, pad_audio, pad_feats,
-                         sample_bucket, token_bucket, batch_pad_multiple)
+                         sample_bucket, token_bucket, batch_pad_multiple,
+                         cache_audio_mb)
         self.batch_type = batch_type
         self.batch_size = batch_size
         self.batch_bin = batch_bin

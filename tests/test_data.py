@@ -107,6 +107,48 @@ def test_batch_audio_dataset_duration_batching(toy_corpus):
         assert np.all(b["wav_len"][b["n_utts"]:] == 0)
 
 
+def test_audio_cache_identical_and_skips_decode(toy_corpus):
+    """cache_audio_mb: epoch 2 batches equal epoch 1 bit-for-bit while the
+    decoder is only consulted once per file; a zero budget caches nothing."""
+    tok = CharTokenizer(str(toy_corpus / "dict.txt"))
+
+    def make(mb):
+        ds = BatchAudioDataSet(
+            wav_list=str(toy_corpus / "wav.scp"),
+            text_list=str(toy_corpus / "text"),
+            tokenizer=tok, audio_trans=["norm", "fbank:80"],
+            batch_type="size", batch_size=4, min_duration=0.0,
+            text_freq=0.0, cache_audio_mb=mb)
+        ds.load_check_data()
+        return ds
+
+    ds = make(64)
+    calls = []
+    orig = AudioDataSet._decode_waves
+
+    def counting(self, paths):
+        calls.extend(paths)
+        return orig(self, paths)
+
+    AudioDataSet._decode_waves = counting
+    try:
+        ep1 = [b["wav_array"].copy() for b in ds.batches(num_workers=1)]
+        n_first = len(calls)
+        ep2 = [b["wav_array"].copy() for b in ds.batches(num_workers=1)]
+        assert len(calls) == n_first == 10      # epoch 2 fully cached
+        for a, b in zip(ep1, ep2):
+            np.testing.assert_array_equal(a, b)
+
+        # uncached dataset decodes every epoch, same bits
+        ds0 = make(0)
+        ep1_u = [b["wav_array"].copy() for b in ds0.batches(num_workers=1)]
+        assert len(calls) == n_first + 10
+        for a, b in zip(ep1, ep1_u):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        AudioDataSet._decode_waves = orig
+
+
 def test_batches_threaded_order(toy_corpus):
     tok = CharTokenizer(str(toy_corpus / "dict.txt"))
     ds = BatchAudioDataSet(

@@ -176,6 +176,8 @@ def main():
         kw = cfg[block]["kwargs"]
         kw["wav_list"] = [os.path.join(data, split, "wav.scp")]
         kw["text_list"] = [os.path.join(data, split, "text")]
+        # single-core host: FLAC re-decode dominates the epoch without it
+        kw["cache_audio_mb"] = 2048
     cfg_path = os.path.join(root, "config.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
