@@ -44,6 +44,7 @@ class E2E_Transformer_CTC_Online(E2EBase):
     decoder_src_attention_bias_init: float = 0.0
     decoder_src_attention_sigmoid_noise: float = 1.0
     ctc_dropout: float = 0.1
+    encoder_remat: bool = False  # see ChunkEncoder.remat
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -57,6 +58,7 @@ class E2E_Transformer_CTC_Online(E2EBase):
             dropout_rate=self.encoder_dropout_rate,
             positional_dropout_rate=self.encoder_dropout_rate,
             attention_dropout_rate=self.encoder_attention_dropout_rate,
+            remat=self.encoder_remat,
             left_len=self.encoder_left_chunk,
             cur_len=self.encoder_center_chunk,
             right_len=self.encoder_right_chunk,

@@ -135,6 +135,12 @@ class ChunkEncoder(nn.Module):
     hop_len: int = 64
     use_mem: bool = True
     use_grad: bool = False
+    # rematerialize each chunk's block stack in the backward pass: the
+    # chunk scan otherwise saves every per-chunk per-block intermediate
+    # ([n_chunks, B, chunk, d/ffn] x num_blocks — OOM at recipe batch
+    # scale on 16 GB HBM); with remat only the scan carries/outputs
+    # survive the forward
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -281,6 +287,8 @@ class ChunkEncoder(nn.Module):
         def body(module, carry, xs):
             return module.chunk_step(carry, xs, deterministic)
 
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(body, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True})
         _, outs = scan(self, mems0, (chunks, offsets, valid_mem, key_valid))

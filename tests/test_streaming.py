@@ -238,6 +238,36 @@ def test_online_model_beam_decode():
         assert np.isfinite(out.scores[b, 0])
 
 
+def test_chunk_encoder_remat_matches():
+    """remat=True must be numerics-identical (fwd and grads) — it only
+    changes what the chunk scan saves for the backward pass."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 200, 80)), jnp.float32)
+    x_len = jnp.asarray([200, 150], jnp.int32)
+    kw = dict(idim=80, attention_dim=16, attention_heads=2,
+              linear_units=32, num_blocks=2, dropout_rate=0.0,
+              left_len=16, cur_len=16, right_len=16, hop_len=16)
+    enc0 = ChunkEncoder(**kw)
+    enc1 = ChunkEncoder(remat=True, **kw)
+    vars_ = enc0.init(jax.random.PRNGKey(0), x, x_len)
+
+    outs, grads = [], []
+    for enc in (enc0, enc1):
+        def loss(params):
+            hs, _ = enc.apply({"params": params}, x, x_len)
+            return jnp.sum(hs * hs)
+        outs.append(np.asarray(enc.apply(vars_, x, x_len)[0]))
+        grads.append(jax.grad(loss)(vars_["params"]))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+    for path, (a, b) in zip(
+            jax.tree_util.tree_flatten_with_path(grads[0])[0],
+            zip(jax.tree_util.tree_leaves(grads[0]),
+                jax.tree_util.tree_leaves(grads[1]))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg=jax.tree_util.keystr(path[0]))
+
+
 def test_chunk_encoder_incremental_equals_batch():
     """Serving API: feeding chunks one at a time reproduces the batch
     forward exactly (same weights, same memories)."""

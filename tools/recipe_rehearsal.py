@@ -153,7 +153,10 @@ def main():
                 encoder_right_chunk=64,
                 decoder_attention_dim=320, decoder_self_attention_heads=8,
                 decoder_src_attention_heads=8, decoder_linear_units=2048,
-                decoder_num_block=6)}
+                decoder_num_block=6,
+                # the chunk scan's saved per-chunk activations OOM 16 GB
+                # HBM at 500 s-audio batches without remat
+                encoder_remat=True)}
     if args.smoke:
         small = dict(
             encoder_attention_dim=32, encoder_attention_heads=2,
