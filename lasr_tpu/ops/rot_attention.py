@@ -133,11 +133,15 @@ def _rot_attention_pallas(q_u, u, k, v, vt, kv_len, BQ: int = 128,
         ],
         # bh blocks are independent -> megacore-parallel; iq stays
         # arbitrary (the lse row block is revisited across iq).
-        # allow_input_fusion folds the 40->128 lane pads into the input
-        # pipeline instead of materializing oversized HBM copies.
+        # allow_input_fusion folds the 40->128 lane pads of the per-block
+        # streamed q/u inputs into the input pipeline; fusing the FULL-T
+        # k/v pads trips an XLA allocation-remat RET_CHECK
+        # (llo_allocation_rematerialization.cc:134 — same reason the
+        # rel_attention kernel fuses only its q inputs), so those pads
+        # materialize in HBM.
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            allow_input_fusion=[False, True, True, True, True, False]),
+            allow_input_fusion=[False, True, True, False, False, False]),
         interpret=interpret,
     )(kv_len[:, None].astype(jnp.int32), qu_p, u_p, k_p, v_p, vt_p)
     return out[:, :T, :dk], lse[:, 0, :T]
@@ -262,10 +266,11 @@ def _rot_attention_pallas_bwd(q_u, u, k, v, vt, kv_len, out, lse, dout,
             jax.ShapeDtypeStruct((BH, Tp, dkp), q_u.dtype),
         ],
         # bh is parallel-safe; dk/dv blocks accumulate across iq so iq
-        # must stay sequential
+        # must stay sequential.  Input fusion: per-block q/u/do only (see
+        # the forward's note).
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            allow_input_fusion=[False, True, True, True, True, False,
+            allow_input_fusion=[False, True, True, False, False, False,
                                 True, False, False]),
         interpret=interpret,
     )(kv_len[:, None].astype(jnp.int32), qu_p, u_p, k_p, v_p, vt_p,

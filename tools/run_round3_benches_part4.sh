@@ -21,6 +21,13 @@ run() {
     cp "bench_out/$name.log" "bench_results_r03/$name.log"
 }
 
+# rerun the Mosaic numerics gate + the pallas A/B arm with the
+# input-fusion fix (part 3's gate hit the allocation-remat RET_CHECK)
+run rot_kernel_check2 python tools/check_rot_kernel_tpu.py
+
+run pos_dropout_ab_pallas python tools/probe_pos_dropout_mode.py \
+    --modes rotated+pallas
+
 # stale partial state from the OOM'd attempt
 rm -rf bench_out/rehearsal_online/exp
 
