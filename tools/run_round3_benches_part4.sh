@@ -31,9 +31,13 @@ run pos_dropout_ab_pallas python tools/probe_pos_dropout_mode.py \
 # stale partial state from the OOM'd attempt
 rm -rf bench_out/rehearsal_online/exp
 
+# no --skip-gen: bench_out/ is ephemeral across sessions, so the corpus
+# must be (re)generated unless it already exists from this session
+SKIP_GEN=""
+[ -f bench_out/rehearsal_online/data/train/wav.scp ] && SKIP_GEN="--skip-gen"
 STEP_TIMEOUT=7200 run rehearsal_online python tools/recipe_rehearsal.py \
     --root bench_out/rehearsal_online --online --epochs 60 --utts 600 \
-    --skip-gen
+    $SKIP_GEN
 
 run streaming_trained python tools/bench_streaming.py --streams 4 \
     --train-config bench_out/rehearsal_online/exp/hparams.yaml \
