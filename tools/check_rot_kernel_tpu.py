@@ -1,18 +1,56 @@
 """Compiled-mode (Mosaic) numerics check for ops/rot_attention.py on the
 real chip at recipe shapes — the interpreter-mode tests can't catch
-lowering bugs.  Compares kernel fwd and all four grads against the XLA
-reference in f32 and bf16.
+lowering bugs.
+
+Criterion: ERROR PARITY against a float64 numpy oracle.  On TPU, f32
+dot_generals run at DEFAULT precision = bf16 MXU passes in BOTH the
+Pallas kernel and the XLA reference, so kernel-vs-XLA disagreement at
+~1e-3 is rounding under different accumulation orders, not a lowering
+bug (the first run of this gate failed exactly that way: fwd 1.9e-3 vs
+a 3e-5 tolerance calibrated in interpret mode).  The decisive check is
+that the kernel's error against an fp64 oracle is no worse than ~2x the
+XLA reference's own error against the same oracle, for the forward AND
+all four grads.
 
 Run on the chip:  python tools/check_rot_kernel_tpu.py
 """
 
 import json
+import math
 import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def oracle(q_u, u, k, v, vt, kv_len, g):
+    """fp64 forward + grads of vdot(out, g) wrt (q_u, u, k, v)."""
+    q_u, u, k, v, vt, g = (np.asarray(x, np.float64)
+                           for x in (q_u, u, k, v, vt, g))
+    kv_len = np.asarray(kv_len)
+    BH, T, dk = q_u.shape
+    inv = 1.0 / math.sqrt(dk)
+    z = (q_u @ k.transpose(0, 2, 1) + u @ vt.T) * inv
+    mask = np.arange(T)[None, None, :] < kv_len[:, None, None]
+    z = np.where(mask, z, -1e30)
+    z = z - z.max(-1, keepdims=True)
+    e = np.exp(z)
+    a = e / e.sum(-1, keepdims=True)
+    out = a @ v
+    da = g @ v.transpose(0, 2, 1)
+    dz = a * (da - (da * a).sum(-1, keepdims=True))
+    dz = np.where(mask, dz, 0.0) * inv
+    grads = {"dq_u": dz @ k, "du": dz @ vt,
+             "dk": dz.transpose(0, 2, 1) @ q_u,
+             "dv": a.transpose(0, 2, 1) @ g}
+    return out, grads
+
+
+def rel_err(a, ref):
+    scale = float(np.max(np.abs(ref))) or 1.0
+    return float(np.max(np.abs(np.asarray(a, np.float64) - ref))) / scale
 
 
 def main():
@@ -36,14 +74,13 @@ def main():
         vt = jnp.asarray(rng.standard_normal((T, M)) * 0.2, dtype)
         lens = rng.integers(T // 2, T + 1, size=B)
         kv_len = jnp.asarray(np.repeat(lens, H), jnp.int32)
+        g = jnp.asarray(rng.standard_normal(q_u.shape), dtype)
+
+        ref_out, ref_grads = oracle(q_u, u, k, v, vt, kv_len, g)
 
         got, _ = _rot_attention_pallas(q_u, u, k, v, vt, kv_len,
                                        interpret=False)
-        want = _xla_reference(q_u, u, k, v, vt, kv_len)
-        fwd_err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
-                                        - want.astype(jnp.float32))))
-
-        g = jnp.asarray(rng.standard_normal(q_u.shape), dtype)
+        xla_out = _xla_reference(q_u, u, k, v, vt, kv_len)
 
         def via_kernel(q_u, u, k, v):
             return jnp.vdot(
@@ -54,21 +91,26 @@ def main():
 
         gk = jax.grad(via_kernel, argnums=(0, 1, 2, 3))(q_u, u, k, v)
         gx = jax.grad(via_xla, argnums=(0, 1, 2, 3))(q_u, u, k, v)
-        grad_err = {}
+
+        # bf16 inputs leave both paths ~3 bf16-ulps from the fp64 oracle;
+        # the floor keeps the ratio criterion from sharpening to noise
+        # when XLA happens to land unusually close to the oracle
+        floor = 1e-4 if dtype == jnp.float32 else 2e-2
+        row = {"dtype": str(dtype.__name__), "T": T}
+        oks = []
+        ek, ex = rel_err(got, ref_out), rel_err(xla_out, ref_out)
+        row["fwd"] = {"kernel_vs_f64": round(ek, 8),
+                      "xla_vs_f64": round(ex, 8)}
+        oks.append(ek <= max(floor, 2.0 * ex))
         for name, a, b in zip(("dq_u", "du", "dk", "dv"), gk, gx):
-            a = a.astype(jnp.float32)
-            b = b.astype(jnp.float32)
-            scale = float(jnp.max(jnp.abs(b))) or 1.0
-            grad_err[name] = float(jnp.max(jnp.abs(a - b))) / scale
-        tol = 3e-5 if dtype == jnp.float32 else 3e-2
-        ok = fwd_err < (1e-4 if dtype == jnp.float32 else 0.05) and \
-            all(e < tol for e in grad_err.values())
-        results.append({"dtype": str(dtype.__name__), "T": T,
-                        "fwd_max_abs_err": round(fwd_err, 8),
-                        "grad_rel_err": {kk: round(vv, 8)
-                                         for kk, vv in grad_err.items()},
-                        "ok": bool(ok)})
-        print(json.dumps(results[-1]), flush=True)
+            ek = rel_err(a, ref_grads[name])
+            ex = rel_err(b, ref_grads[name])
+            row[name] = {"kernel_vs_f64": round(ek, 8),
+                         "xla_vs_f64": round(ex, 8)}
+            oks.append(ek <= max(floor, 2.0 * ex))
+        row["ok"] = bool(all(oks))
+        results.append(row)
+        print(json.dumps(row), flush=True)
     print(json.dumps({"all_ok": all(r["ok"] for r in results)}))
 
 
