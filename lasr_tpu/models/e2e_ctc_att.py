@@ -219,6 +219,10 @@ class E2E_Conformer_CTC(E2EBase):
     # fused Pallas flash kernel for rotated-fold scoring (see
     # ConformerEncoder.rot_fold_pallas)
     encoder_rot_fold_pallas: bool = False
+    # int8-MXU feed-forward GEMMs in every encoder block (ops/quant.py;
+    # beyond-reference TPU feature, opt-in, checkpoint-compatible with
+    # the bf16 build — gated by tools/probe_ff_int8.py A/Bs)
+    encoder_ff_int8: bool = False
     encoder_scan_layers: bool = False
     # pipeline parallelism (modules/pipeline.py): stage-stacked encoder
     # blocks scheduled GPipe-style; the stage axis shards over the mesh
@@ -257,6 +261,7 @@ class E2E_Conformer_CTC(E2EBase):
             remat_attend=self.encoder_remat_attend,
             pos_dropout_mode=self.encoder_pos_dropout_mode,
             rot_fold_pallas=self.encoder_rot_fold_pallas,
+            ff_int8=self.encoder_ff_int8,
             scan_layers=self.encoder_scan_layers,
             pipeline_stages=self.encoder_pipeline_stages,
             pipeline_microbatches=self.encoder_pipeline_microbatches,

@@ -94,6 +94,9 @@ class ConformerEncoderLayer(nn.Module):
     rot_fold_train: bool = False
     pos_dropout_rate: float = 0.0
     rot_fold_pallas: bool = False  # fused flash kernel for the fold
+    # int8-MXU feed-forward GEMMs (ops/quant.py QuantDense; "linear"
+    # positionwise type only) — opt-in, checkpoint-compatible
+    ff_int8: bool = False
     # tap-matmul form for every in-layer conv (ConvolutionModule and the
     # conv positionwise types) — required under pipeline parallelism, see
     # ConvolutionModule.matmul_form / tools/spmd_conv_repro.py
@@ -109,7 +112,11 @@ class ConformerEncoderLayer(nn.Module):
         if self.positionwise_layer_type == "linear":
             return PositionwiseFeedForward(
                 self.size, self.linear_units, self.dropout_rate,
-                activation=swish, dtype=self.dtype, name=name)
+                activation=swish, int8=self.ff_int8, dtype=self.dtype,
+                name=name)
+        if self.ff_int8:
+            raise ValueError("ff_int8 requires positionwise_layer_type="
+                             "'linear'")
         if self.positionwise_layer_type == "conv1d":
             return MultiLayeredConv1d(
                 self.size, self.linear_units, self.positionwise_conv_kernel_size,
@@ -233,6 +240,7 @@ class _ScanConformerLayer(nn.Module):
     rot_fold_train: bool = False
     pos_dropout_rate: float = 0.0
     rot_fold_pallas: bool = False
+    ff_int8: bool = False
     conv_matmul_form: bool = False
     remat: bool = False
     act_sharding: Optional[object] = None
@@ -254,6 +262,7 @@ class _ScanConformerLayer(nn.Module):
             rot_fold=self.rot_fold, rot_fold_train=self.rot_fold_train,
             pos_dropout_rate=self.pos_dropout_rate,
             rot_fold_pallas=self.rot_fold_pallas,
+            ff_int8=self.ff_int8,
             conv_matmul_form=self.conv_matmul_form,
             act_sharding=self.act_sharding,
             dtype=self.dtype, name="block")
@@ -303,6 +312,9 @@ class ConformerEncoder(nn.Module):
     # (ops/rot_attention.py) wherever the fold applies — deterministic
     # forwards, and training when pos_dropout_mode="rotated"
     rot_fold_pallas: bool = False
+    # int8-MXU feed-forward GEMMs across every block (ops/quant.py);
+    # opt-in, checkpoint-compatible with the bf16 build
+    ff_int8: bool = False
     selfattention_layer_type: str = "selfattn"
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
@@ -391,6 +403,7 @@ class ConformerEncoder(nn.Module):
             pos_dropout_rate=(self.positional_dropout_rate
                               if self.pos_dropout_mode == "rotated" else 0.0),
             rot_fold_pallas=self.rot_fold_pallas,
+            ff_int8=self.ff_int8,
             act_sharding=self.act_sharding,
             dtype=self.dtype)
         if self.pipeline_stages > 1:

@@ -17,14 +17,25 @@ class PositionwiseFeedForward(nn.Module):
     hidden_units: int
     dropout_rate: float = 0.1
     activation: Callable = nn.relu
+    # int8 MXU path for both GEMMs (ops/quant.py) — same param tree and
+    # flax paths (explicit name="Dense_k"), so checkpoints interop with
+    # the bf16 build; opt-in, gated by tools/probe_ff_int8.py A/Bs
+    int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.hidden_units, dtype=self.dtype)(x)
+        if self.int8:
+            from lasr_tpu.ops.quant import QuantDense
+            dense = lambda feats, name: QuantDense(  # noqa: E731
+                feats, dtype=self.dtype, name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(  # noqa: E731
+                feats, dtype=self.dtype, name=name)
+        h = dense(self.hidden_units, "Dense_0")(x)
         h = self.activation(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(self.idim, dtype=self.dtype)(h)
+        return dense(self.idim, "Dense_1")(h)
 
 
 def _conv1d(matmul_form: bool, features: int, kernel_size: int, pad: int,
