@@ -45,6 +45,10 @@ class E2E_Transformer_CTC_Online(E2EBase):
     decoder_src_attention_sigmoid_noise: float = 1.0
     ctc_dropout: float = 0.1
     encoder_remat: bool = False  # see ChunkEncoder.remat
+    # layer-major full-stream encoder forward (ChunkEncoder.layer_major):
+    # same math as the sequential chunk scan, MXU-shaped; False = legacy
+    # scan (A/B probes)
+    encoder_layer_major: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -59,6 +63,7 @@ class E2E_Transformer_CTC_Online(E2EBase):
             positional_dropout_rate=self.encoder_dropout_rate,
             attention_dropout_rate=self.encoder_attention_dropout_rate,
             remat=self.encoder_remat,
+            layer_major=self.encoder_layer_major,
             left_len=self.encoder_left_chunk,
             cur_len=self.encoder_center_chunk,
             right_len=self.encoder_right_chunk,

@@ -101,6 +101,59 @@ class StreamEncoderLayer(nn.Module):
             new_mem = jax.lax.stop_gradient(new_mem)
         return x, new_mem
 
+    def forward_all_chunks(self, x, kmask, n: int,
+                           deterministic: bool = True):
+        """All n chunks of the stream through this layer in ONE batched op.
+
+        The carried memory of chunk c is the last ``mem_len_sub`` frames
+        of the previous chunks' ``norm1(input)[:, :hop_sub]`` hop regions
+        (see ``__call__``) — a value that depends only on this layer's
+        INPUT, never its output.  So once layer i-1 has produced every
+        chunk, layer i's memories for ALL chunks are a chunk-shifted view
+        of its own normed input, and the whole layer runs as one
+        (n·B)-row batch instead of n sequential 1-chunk steps.  This is
+        the TPU-first training formulation: at recipe shapes the
+        sequential chunk scan feeds the MXU 16-row GEMMs, n·blocks times
+        in a chain; layer-major restores offline-encoder-sized GEMMs.
+        Exactly the same math as scanning ``__call__`` over chunks.
+
+        x: (n·B, Tc, D) chunk-major layer input; kmask: (n·B, 1, M+Tc).
+        Returns (n·B, Tc, D).
+        """
+        residual = x
+        xh = self.norm1(x) if self.normalize_before else x
+        NB, Tc, D = xh.shape
+        B = NB // n
+        M, hop = self.mem_len_sub, self.hop_sub
+        # stream of hop regions, chunk-major: (B, n·hop, D)
+        hops = xh.reshape(n, B, Tc, D)[:, :, :hop]
+        stream = jnp.moveaxis(hops, 0, 1).reshape(B, n * hop, D)
+        stream = jnp.pad(stream, ((0, 0), (M, 0), (0, 0)))
+        # mem[c] = stream_padded[:, c·hop : c·hop + M] — the scan carry's
+        # exact value at chunk c (zeros before the stream starts)
+        idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(M)[None, :]
+        mem = jnp.moveaxis(stream[:, idx], 1, 0).reshape(NB, M, D)
+        if not self.use_grad:
+            mem = jax.lax.stop_gradient(mem)
+
+        kx = jnp.concatenate([mem, xh], axis=1)
+        att = self.self_attn(xh, kx, kx, kmask, deterministic=deterministic)
+        if self.concat_after:
+            x = residual + self.concat_linear(jnp.concatenate([xh, att], -1))
+        else:
+            x = residual + self.dropout(att, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        residual = x
+        y = self.norm2(x) if self.normalize_before else x
+        x = residual + self.dropout(
+            self.feed_forward(y, deterministic=deterministic),
+            deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm2(x)
+        return x
+
 
 def _chunk_grid(T_raw: int, cur: int, right: int, hop: int) -> int:
     """Number of sliding chunks the reference iterator yields
@@ -139,8 +192,16 @@ class ChunkEncoder(nn.Module):
     # chunk scan otherwise saves every per-chunk per-block intermediate
     # ([n_chunks, B, chunk, d/ffn] x num_blocks — OOM at recipe batch
     # scale on 16 GB HBM); with remat only the scan carries/outputs
-    # survive the forward
+    # survive the forward.  Under layer_major the same flag remats each
+    # layer (drops the (n·B, Tc, ffn) FF intermediates).
     remat: bool = False
+    # layer-major full-utterance forward (training/offline decode): each
+    # layer processes ALL chunks as one (n·B)-row batch — see
+    # StreamEncoderLayer.forward_all_chunks.  Exactly the same math as
+    # the sequential chunk scan (memories depend only on each layer's
+    # input), but MXU-shaped: the scan feeds 16-row GEMMs n_chunks ×
+    # num_blocks times in a chain.  False = legacy scan (A/B probes).
+    layer_major: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -205,6 +266,42 @@ class ChunkEncoder(nn.Module):
         if self.normalize_before:
             h = self.after_norm(h)
         return tuple(new_mems), h[:, : self.cur_sub]
+
+    def _forward_layer_major(self, chunks, offsets, valid_mem, key_valid,
+                             deterministic: bool):
+        """Layer-major full-stream forward: embed every chunk in one
+        batch, then run each layer over ALL chunks at once (see
+        StreamEncoderLayer.forward_all_chunks for why the memories are
+        available in parallel).  Same math as scanning ``chunk_step``.
+
+        chunks: (n, B, chunk_raw, idim); offsets/valid_mem: (n,);
+        key_valid: (n, B, chunk_sub).  Returns (n, B, cur_sub, D) — the
+        same stacked output the chunk scan yields.
+        """
+        n, B, chunk_raw, _ = chunks.shape
+        flat = chunks.reshape(n * B, chunk_raw, chunks.shape[-1])
+        dummy_len = jnp.full((n * B,), chunk_raw, jnp.int32)
+        off_rows = jnp.repeat(offsets.astype(jnp.int32), B)
+        h, _ = self.embed(flat, dummy_len, offset=off_rows,
+                          deterministic=deterministic)
+        Tc = h.shape[1]
+        M = self.mem_len_sub
+        mem_valid = jnp.arange(M)[None, :] >= (M - valid_mem[:, None])
+        kmask = jnp.concatenate(
+            [jnp.broadcast_to(mem_valid[:, None, :], (n, B, M)), key_valid],
+            axis=2).reshape(n * B, 1, M + Tc)
+
+        def one(layer, h, kmask):
+            return layer.forward_all_chunks(h, kmask, n,
+                                            deterministic=deterministic)
+
+        if self.remat:
+            one = nn.remat(one, prevent_cse=False)
+        for layer in self.layers:
+            h = one(layer, h, kmask)
+        if self.normalize_before:
+            h = self.after_norm(h)
+        return h.reshape(n, B, Tc, -1)[:, :, : self.cur_sub]
 
     def init_stream_state(self, batch: int):
         """Fresh per-layer memories for chunk-incremental serving."""
@@ -280,18 +377,24 @@ class ChunkEncoder(nn.Module):
                       < x_len[None, :, None])
                      & (j < self.key_sub)[None, None, :])  # (n, B, chunk_sub)
 
-        mems0 = tuple(
-            jnp.zeros((B, self.mem_len_sub, self.attention_dim), self.dtype)
-            for _ in range(self.num_blocks))
+        if self.layer_major:
+            outs = self._forward_layer_major(
+                chunks, offsets, valid_mem, key_valid, deterministic)
+        else:
+            mems0 = tuple(
+                jnp.zeros((B, self.mem_len_sub, self.attention_dim),
+                          self.dtype)
+                for _ in range(self.num_blocks))
 
-        def body(module, carry, xs):
-            return module.chunk_step(carry, xs, deterministic)
+            def body(module, carry, xs):
+                return module.chunk_step(carry, xs, deterministic)
 
-        if self.remat:
-            body = nn.remat(body, prevent_cse=False)
-        scan = nn.scan(body, variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True})
-        _, outs = scan(self, mems0, (chunks, offsets, valid_mem, key_valid))
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True})
+            _, outs = scan(self, mems0,
+                           (chunks, offsets, valid_mem, key_valid))
         hs = jnp.moveaxis(outs, 0, 1).reshape(B, -1, self.attention_dim)
 
         if ref_tail:

@@ -458,3 +458,75 @@ def test_streaming_recognizer_beam_partials_match_online_beam():
     # at least one mid-stream beam partial was produced (beam_interval=1)
     assert rec._beam_tokens is not None
     assert all(isinstance(p, list) for p in partials)
+
+
+def test_chunk_encoder_layer_major_equals_scan():
+    """The layer-major forward (each layer over ALL chunks at once) must
+    equal the sequential chunk scan — fwd and grads — including when the
+    memory spans multiple previous chunks (left_len > hop_len) and rows
+    are ragged.  The memories depend only on each layer's input, so the
+    reorder is exact math, not an approximation."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 230, 80)), jnp.float32)
+    x_len = jnp.asarray([230, 141], jnp.int32)
+    for left in (16, 32):  # M == hop and M == 2*hop
+        kw = dict(idim=80, attention_dim=16, attention_heads=2,
+                  linear_units=32, num_blocks=2, dropout_rate=0.0,
+                  left_len=left, cur_len=16, right_len=16, hop_len=16)
+        scan_enc = ChunkEncoder(layer_major=False, **kw)
+        lm_enc = ChunkEncoder(layer_major=True, **kw)
+        vars_ = scan_enc.init(jax.random.PRNGKey(0), x, x_len)
+
+        outs, lens, grads = [], [], []
+        for enc in (scan_enc, lm_enc):
+            hs, hs_len = enc.apply(vars_, x, x_len)
+            outs.append(np.asarray(hs))
+            lens.append(np.asarray(hs_len))
+
+            def loss(params):
+                h, _ = enc.apply({"params": params}, x, x_len)
+                return jnp.sum(h * h)
+            grads.append(jax.grad(loss)(vars_["params"]))
+        np.testing.assert_array_equal(lens[0], lens[1])
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+        for path, (a, b) in zip(
+                jax.tree_util.tree_flatten_with_path(grads[0])[0],
+                zip(jax.tree_util.tree_leaves(grads[0]),
+                    jax.tree_util.tree_leaves(grads[1]))):
+            # rtol: the layer-major GEMMs batch all chunks into one
+            # contraction — a different f32 accumulation order than the
+            # scan's per-chunk GEMMs
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=3e-5,
+                err_msg=f"left={left} " + jax.tree_util.keystr(path[0]))
+
+
+def test_chunk_encoder_layer_major_ref_tail_and_dropout():
+    """ref_tail lengths are scan-identical, and the training
+    (non-deterministic) path runs and differentiates under layer_major —
+    the dropout RNG pattern differs from the scan (one draw over all
+    chunks vs per-chunk splits), which is a distribution-level
+    equivalence, so only the deterministic forward is bit-compared."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 200, 80)), jnp.float32)
+    x_len = jnp.asarray([200, 90], jnp.int32)
+    kw = dict(idim=80, attention_dim=16, attention_heads=2,
+              linear_units=32, num_blocks=2, dropout_rate=0.3,
+              left_len=16, cur_len=16, right_len=16, hop_len=16)
+    scan_enc = ChunkEncoder(layer_major=False, **kw)
+    lm_enc = ChunkEncoder(layer_major=True, **kw)
+    vars_ = scan_enc.init(jax.random.PRNGKey(0), x, x_len)
+    a = scan_enc.apply(vars_, x, x_len, True, True)
+    b = lm_enc.apply(vars_, x, x_len, True, True)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               atol=1e-5)
+
+    def loss(params):
+        h, _ = lm_enc.apply({"params": params}, x, x_len,
+                            deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.sum(h * h)
+    g = jax.grad(loss)(vars_["params"])
+    assert all(np.all(np.isfinite(np.asarray(v)))
+               for v in jax.tree_util.tree_leaves(g))
