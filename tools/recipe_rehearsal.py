@@ -90,6 +90,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--vocab", type=int, default=5000)
     ap.add_argument("--lexicon", type=int, default=3000)
+    ap.add_argument("--warm-step", type=int, default=600,
+                    help="Noam warmup steps (the rehearsal trains ~1-4k "
+                         "optimizer steps; pick ~half the run so the LR "
+                         "actually peaks — the online run at 600 utts has "
+                         "only 4 batches/epoch)")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--smoke", action="store_true",
@@ -139,7 +144,7 @@ def main():
     with open(os.path.join(REPO,
                            "example/asr_en/conf/config_baseline.yaml")) as f:
         cfg = yaml.safe_load(f)
-    cfg["opti_config"]["scheduler"]["kwargs"]["warm_step"] = 600
+    cfg["opti_config"]["scheduler"]["kwargs"]["warm_step"] = args.warm_step
     cfg["tokenizer_config"]["kwargs"]["dict_path"] = tok_json
     if args.online:
         # production-size streaming model (the serving bench's scale)
