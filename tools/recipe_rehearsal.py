@@ -236,11 +236,23 @@ def main():
                     rows.append(row)
         steps = rows[-1]["step"] if rows else 0
         steady = None
+        n_segments = 0
         if len(rows) >= 2:
-            # utts_cum is the per-flush utterance count; wall_s is global —
-            # sum flushes after the first (which absorbs compile/startup)
-            du = sum(r["utts_cum"] for r in rows[1:])
-            dt_s = rows[-1]["wall_s"] - rows[0]["wall_s"]
+            # utts_cum is the per-flush utterance count; wall_s is the
+            # run's own wall clock, so it RESETS when auto_resume picks a
+            # preempted run back up — accumulate du/dt per contiguous
+            # segment, skipping each segment's first flush (which absorbs
+            # compile/startup)
+            du = dt_s = 0.0
+            seg_start = 0
+            for i in range(1, len(rows) + 1):
+                if i == len(rows) or rows[i]["wall_s"] < rows[i - 1]["wall_s"]:
+                    seg = rows[seg_start:i]
+                    n_segments += 1
+                    if len(seg) >= 2:
+                        du += sum(r["utts_cum"] for r in seg[1:])
+                        dt_s += seg[-1]["wall_s"] - seg[0]["wall_s"]
+                    seg_start = i
             if dt_s > 0:
                 steady = round(du / dt_s, 1)
         ckpt_mb = 0
@@ -252,9 +264,12 @@ def main():
             "steps": steps,
             "epochs": args.epochs,
             "train_utts_total": args.utts * args.epochs,
+            # this run's wall clock only; meaningless after a resume —
+            # use steady_utts_per_sec (resume-aware) for the BASELINE row
             "pipeline_utts_per_sec": round(args.utts * args.epochs
                                            / train_s, 1),
             "steady_utts_per_sec": steady,
+            "train_segments": n_segments,
             "ckpt_dir_mb": round(ckpt_mb / 2 ** 20, 1)}), flush=True)
 
     out_file = os.path.join(root, "hyp.txt")
