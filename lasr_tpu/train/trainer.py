@@ -702,8 +702,21 @@ def load_averaged_params(model_path: str, choose: str = "last", avg: int = 5):
     without BatchNorm; for conformer checkpoints it must be passed into
     ``variables`` at decode time or ``model.apply`` raises
     ScopeCollectionNotFound.
+
+    ``model_path`` may also point at reference Lightning artifacts — a
+    single ``.ckpt``/``.pt`` file or a directory of ``.ckpt`` files (then
+    averaged with the reference's own filename-sort semantics and the EMA
+    shadow preferred, decode_lighting.py:61-78) — so an existing reference
+    training run decodes directly through ``bin/decode.py``.
     """
     import logging as _logging
+    from lasr_tpu.utils.torch_compat import (
+        is_reference_checkpoint_path, load_reference_averaged_params)
+    if is_reference_checkpoint_path(model_path):
+        _logging.info("loading reference Lightning checkpoint(s) from %s",
+                      model_path)
+        return load_reference_averaged_params(model_path, choose=choose,
+                                              avg=avg)
     sub = os.path.join(model_path, choose)
     directory = sub if os.path.isdir(sub) else model_path
     tree = average_checkpoints(directory, ids=choose, num=avg)

@@ -16,11 +16,56 @@ import warnings
 from typing import Any, Callable, Dict, Iterable, Optional
 
 
+# Drop-in migration for existing reference YAMLs: a config.yaml /
+# hparams.yaml / decode.yaml written for the reference names its classes by
+# reference module path ('lasr.…', 'torch.optim:Adam').  Those name strings
+# translate transparently onto the lasr_tpu implementations, whose
+# constructors accept the same kwargs (the YAML contract), so the file runs
+# unmodified through bin/train.py / bin/decode.py.  The table covers every
+# reference class that is meaningful inside a config block (models
+# e2e_{transformer,conformer,…}.py, losses e2e_loss*.py, optimizer/scheduler
+# optimizer.py:22/scheduler.py:3, tokenizers tokenizer.py:70-222, datasets
+# dataset.py:25/234, RNNLM rnn/lstm.py:33-138).  See docs/MIGRATION.md.
+REFERENCE_NAME_ALIASES: Dict[str, str] = {
+    "lasr.model.e2e_ctc_att.e2e_transformer:E2E_Transformer_CTC":
+        "lasr_tpu.models.e2e_ctc_att:E2E_Transformer_CTC",
+    "lasr.model.e2e_ctc_att.e2e_conformer:E2E_Conformer_CTC":
+        "lasr_tpu.models.e2e_ctc_att:E2E_Conformer_CTC",
+    "lasr.model.e2e_ctc_att.e2e_transformer_online:E2E_Transformer_CTC_Online":
+        "lasr_tpu.models.e2e_online:E2E_Transformer_CTC_Online",
+    "lasr.model.e2e_ctc_att.e2e_transformer_online_offline:"
+    "E2E_Transformer_CTC_Univ_Dynamic":
+        "lasr_tpu.models.e2e_online:E2E_Transformer_CTC_Univ_Dynamic",
+    "lasr.model.e2e_ctc_att.e2e_loss:E2E_Loss":
+        "lasr_tpu.models.losses:E2E_Loss",
+    "lasr.model.e2e_ctc_att.e2e_loss_univ:CTC_CE_Univ_Loss":
+        "lasr_tpu.models.losses_univ:CTC_CE_Univ_Loss",
+    "torch.optim:Adam": "lasr_tpu.train.optimizer:Adam",
+    "lasr.modules.optimizer.optimizer:Noam": "lasr_tpu.train.optimizer:Noam",
+    "lasr.modules.optimizer.scheduler:WarmupScheduler":
+        "lasr_tpu.train.optimizer:WarmupScheduler",
+    "lasr.data.tokenizer:CharTokenizer":
+        "lasr_tpu.data.tokenizer:CharTokenizer",
+    "lasr.data.tokenizer:HuggingTokenizer":
+        "lasr_tpu.data.tokenizer:HuggingTokenizer",
+    "lasr.data.tokenizer:SPMTokenizer":
+        "lasr_tpu.data.tokenizer:SPMTokenizer",
+    "lasr.data.dataset:AudioDataSet": "lasr_tpu.data.dataset:AudioDataSet",
+    "lasr.data.dataset:BatchAudioDataSet":
+        "lasr_tpu.data.dataset:BatchAudioDataSet",
+    "lasr.modules.net.rnn.lstm:LSTMStack": "lasr_tpu.modules.rnn:LSTMStack",
+    "lasr.modules.net.rnn.lstm:RNNCellStack":
+        "lasr_tpu.modules.rnn:RNNCellStack",
+}
+
+
 def dynamic_import(import_path: str, alias: Optional[Dict[str, str]] = None):
     """Resolve ``'pkg.module:ClassName'`` to the class/function object.
 
     ``alias`` optionally maps shorthand names to full import paths (same
-    contract as reference generater.py:5-23).
+    contract as reference generater.py:5-23).  Reference-framework paths
+    (``REFERENCE_NAME_ALIASES``) translate onto lasr_tpu classes so existing
+    reference YAMLs run unmodified; an explicit ``alias`` entry wins.
     """
     alias = alias or {}
     if ":" not in import_path:
@@ -31,8 +76,27 @@ def dynamic_import(import_path: str, alias: Optional[Dict[str, str]] = None):
                 f"or be one of the aliases {sorted(alias)}"
             )
         import_path = alias[import_path]
+    elif import_path in alias:
+        # a full-path alias entry overrides, including the reference table
+        import_path = alias[import_path]
+    if import_path in REFERENCE_NAME_ALIASES:
+        translated = REFERENCE_NAME_ALIASES[import_path]
+        warnings.warn(
+            f"config names the reference class {import_path!r}; using the "
+            f"lasr_tpu implementation {translated!r} (docs/MIGRATION.md)",
+            stacklevel=2)
+        import_path = translated
     module_name, _, obj_name = import_path.partition(":")
-    module = importlib.import_module(module_name)
+    try:
+        module = importlib.import_module(module_name)
+    except ImportError:
+        if module_name.split(".")[0] == "lasr":
+            raise ImportError(
+                f"config names the reference module {module_name!r}, which "
+                f"is not installed and has no entry in "
+                f"REFERENCE_NAME_ALIASES — see docs/MIGRATION.md for the "
+                f"reference→lasr_tpu class map") from None
+        raise
     try:
         return getattr(module, obj_name)
     except AttributeError as e:

@@ -24,6 +24,8 @@ Conv1d (out,in/g,k)→(k,in/g,out); norms weight→scale; embeddings direct.
 
 from __future__ import annotations
 
+import logging
+import os
 import re
 from typing import Dict, Tuple
 
@@ -164,13 +166,10 @@ def torch_to_flax(state_dict: Dict, strict: bool = True,
     return out
 
 
-def load_reference_checkpoint(ckpt_path: str, template=None,
-                              prefer_ema: bool = True) -> Dict:
-    """Load a reference Lightning .ckpt (or bare state_dict .pt) into flax
-    collections."""
-    import torch
-    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-    state = blob.get("state_dict", blob)
+def _lightning_state_to_flax(state: Dict, template=None,
+                             prefer_ema: bool = True) -> Dict:
+    """Prefix-split a Lightning state_dict (EMA preferred when present,
+    reference decode_lighting.py:66-78) and convert to flax collections."""
     groups = split_lightning_state_dict(state)
     if "model" in groups:
         model_sd = groups["model"]
@@ -184,3 +183,85 @@ def load_reference_checkpoint(ckpt_path: str, template=None,
                     model_sd[flat_names[ema_key]] = v
         state = model_sd
     return torch_to_flax(state, template=template)
+
+
+def load_reference_checkpoint(ckpt_path: str, template=None,
+                              prefer_ema: bool = True) -> Dict:
+    """Load a reference Lightning .ckpt (or bare state_dict .pt) into flax
+    collections."""
+    import torch
+    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    state = blob.get("state_dict", blob)
+    return _lightning_state_to_flax(state, template=template,
+                                    prefer_ema=prefer_ema)
+
+
+def average_reference_checkpoints(path: str, ids: str = "best",
+                                  num: int = 10):
+    """Average every ``*.ckpt`` under ``path`` with the reference's own
+    selection semantics (average_checkpoints.py:7-38): filename sort,
+    reversed for ``ids='last'`` (so ``last-step-*`` names win over
+    ``best-val-*`` in a mixed Lightning output dir), first ``num`` summed
+    then divided (integer tensors use ``//``).  Divides by the number of
+    checkpoints actually found (the reference divides by ``num`` even when
+    fewer exist — a latent bug not reproduced).
+
+    Returns ``(state_dict, chosen_filenames)``.
+    """
+    import torch
+    names = sorted((n for n in os.listdir(path) if n.endswith(".ckpt")),
+                   reverse=(ids == "last"))
+    choose = names[:num]
+    if not choose:
+        raise FileNotFoundError(f"no .ckpt files under {path}")
+    avg = None
+    for name in choose:
+        blob = torch.load(os.path.join(path, name), map_location="cpu",
+                          weights_only=False)
+        states = blob.get("state_dict", blob)
+        if avg is None:
+            avg = {k: v.clone() if torch.is_tensor(v) else v
+                   for k, v in states.items()}
+        else:
+            for k in avg:
+                avg[k] += states[k]
+    k_eff = len(choose)
+    for k in avg:
+        if torch.is_tensor(avg[k]) and not torch.is_floating_point(avg[k]):
+            avg[k] //= k_eff
+        else:
+            avg[k] /= k_eff
+    return avg, choose
+
+
+def load_reference_averaged_params(model_path: str, choose: str = "best",
+                                   avg: int = 10, template=None,
+                                   prefer_ema: bool = True):
+    """Decode weights from reference Lightning artifacts: a single
+    ``.ckpt``/``.pt`` file, or a directory of ``.ckpt`` files (averaged
+    with reference semantics).  Returns ``(params, batch_stats)`` matching
+    ``lasr_tpu.train.trainer.load_averaged_params``."""
+    if os.path.isfile(model_path):
+        variables = load_reference_checkpoint(model_path, template=template,
+                                              prefer_ema=prefer_ema)
+    else:
+        state, chosen = average_reference_checkpoints(model_path, ids=choose,
+                                                      num=avg)
+        logging.info("averaged reference checkpoints: %s", chosen)
+        variables = _lightning_state_to_flax(state, template=template,
+                                             prefer_ema=prefer_ema)
+    return variables.get("params", {}), variables.get("batch_stats", {})
+
+
+def is_reference_checkpoint_path(model_path: str) -> bool:
+    """True when ``model_path`` points at reference Lightning artifacts
+    (a ``.ckpt``/``.pt`` file or a directory containing ``.ckpt`` files)
+    rather than an orbax checkpoints root."""
+    if os.path.isfile(model_path):
+        return model_path.endswith((".ckpt", ".pt", ".pth"))
+    if os.path.isdir(model_path):
+        try:
+            return any(n.endswith(".ckpt") for n in os.listdir(model_path))
+        except OSError:
+            return False
+    return False
