@@ -49,6 +49,9 @@ class E2E_Transformer_CTC_Online(E2EBase):
     # same math as the sequential chunk scan, MXU-shaped; False = legacy
     # scan (A/B probes)
     encoder_layer_major: bool = True
+    # max chunk-rows per layer-major group (0 = unbounded); bounds peak
+    # HBM at recipe-scale duration buckets (ChunkEncoder.layer_major_rows)
+    encoder_layer_major_rows: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -64,6 +67,7 @@ class E2E_Transformer_CTC_Online(E2EBase):
             attention_dropout_rate=self.encoder_attention_dropout_rate,
             remat=self.encoder_remat,
             layer_major=self.encoder_layer_major,
+            layer_major_rows=self.encoder_layer_major_rows,
             left_len=self.encoder_left_chunk,
             cur_len=self.encoder_center_chunk,
             right_len=self.encoder_right_chunk,

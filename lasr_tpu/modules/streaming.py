@@ -69,13 +69,10 @@ class StreamEncoderLayer(nn.Module):
         if self.concat_after:
             self.concat_linear = nn.Dense(self.size, dtype=self.dtype)
 
-    def __call__(self, x, mem, kmask, deterministic: bool = True):
-        """x: (B, Tc, D) chunk; mem: (B, M, D) carried memory (post-norm1
-        values, like the reference's ``update_mems(x)`` after norm1);
-        kmask: (B, 1, M+Tc) key validity.  Returns (out, new_mem)."""
-        residual = x
-        xh = self.norm1(x) if self.normalize_before else x
-        kx = jnp.concatenate([mem, xh], axis=1)
+    def _attend_ff(self, xh, kx, kmask, residual, deterministic: bool):
+        """The row-independent tail of the block: attend over [mem ‖ chunk]
+        keys, residual+norm, feed-forward.  Shared by the sequential
+        chunk step and (in row groups) the layer-major forward."""
         att = self.self_attn(xh, kx, kx, kmask, deterministic=deterministic)
         if self.concat_after:
             x = residual + self.concat_linear(jnp.concatenate([xh, att], -1))
@@ -91,6 +88,16 @@ class StreamEncoderLayer(nn.Module):
             deterministic=deterministic)
         if not self.normalize_before:
             x = self.norm2(x)
+        return x
+
+    def __call__(self, x, mem, kmask, deterministic: bool = True):
+        """x: (B, Tc, D) chunk; mem: (B, M, D) carried memory (post-norm1
+        values, like the reference's ``update_mems(x)`` after norm1);
+        kmask: (B, 1, M+Tc) key validity.  Returns (out, new_mem)."""
+        residual = x
+        xh = self.norm1(x) if self.normalize_before else x
+        kx = jnp.concatenate([mem, xh], axis=1)
+        x = self._attend_ff(xh, kx, kmask, residual, deterministic)
 
         # memory keeps the last mem_len frames of the stream up to this
         # chunk's hop boundary (encoder_layer.py:55-65); detached unless
@@ -102,7 +109,7 @@ class StreamEncoderLayer(nn.Module):
         return x, new_mem
 
     def forward_all_chunks(self, x, kmask, n: int,
-                           deterministic: bool = True):
+                           deterministic: bool = True, row_cap: int = 0):
         """All n chunks of the stream through this layer in ONE batched op.
 
         The carried memory of chunk c is the last ``mem_len_sub`` frames
@@ -118,6 +125,13 @@ class StreamEncoderLayer(nn.Module):
         Exactly the same math as scanning ``__call__`` over chunks.
 
         x: (n·B, Tc, D) chunk-major layer input; kmask: (n·B, 1, M+Tc).
+        ``row_cap`` > 0 bounds the number of chunk-rows attended at once:
+        the attention+FF tail is row-independent once the memory view is
+        gathered, so it scans over ⌈n·B/row_cap⌉ remat'd row groups —
+        peak HBM temps scale with ``row_cap`` instead of n·B (the
+        recipe-scale duration buckets stack >1.2k chunk-rows, whose
+        (rows, Tc, ffn) and padded per-head temps exhaust 16 GB), while
+        each group still feeds the MXU row_cap·Tc-row GEMMs.
         Returns (n·B, Tc, D).
         """
         residual = x
@@ -137,22 +151,29 @@ class StreamEncoderLayer(nn.Module):
             mem = jax.lax.stop_gradient(mem)
 
         kx = jnp.concatenate([mem, xh], axis=1)
-        att = self.self_attn(xh, kx, kx, kmask, deterministic=deterministic)
-        if self.concat_after:
-            x = residual + self.concat_linear(jnp.concatenate([xh, att], -1))
-        else:
-            x = residual + self.dropout(att, deterministic=deterministic)
-        if not self.normalize_before:
-            x = self.norm1(x)
+        if row_cap and row_cap < NB:
+            rows = row_cap
+            groups = -(-NB // rows)
+            # pad to groups·rows by wrapping row indices (duplicate rows
+            # recompute a few chunks; their outputs are dropped)
+            ridx = jnp.arange(groups * rows) % NB
+            xs = tuple(a[ridx].reshape(groups, rows, *a.shape[1:])
+                       for a in (xh, kx, kmask, residual))
 
-        residual = x
-        y = self.norm2(x) if self.normalize_before else x
-        x = residual + self.dropout(
-            self.feed_forward(y, deterministic=deterministic),
-            deterministic=deterministic)
-        if not self.normalize_before:
-            x = self.norm2(x)
-        return x
+            def body(module, carry, xs_g):
+                xh_g, kx_g, km_g, res_g = xs_g
+                return carry, module._attend_ff(xh_g, kx_g, km_g, res_g,
+                                                deterministic)
+
+            # remat the BODY: a plain scan saves every group's attention/
+            # FF residuals — re-materializing the full-NB footprint the
+            # grouping exists to avoid
+            body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True})
+            _, out = scan(self, None, xs)
+            return out.reshape(groups * rows, Tc, D)[:NB]
+        return self._attend_ff(xh, kx, kmask, residual, deterministic)
 
 
 def _chunk_grid(T_raw: int, cur: int, right: int, hop: int) -> int:
@@ -202,6 +223,10 @@ class ChunkEncoder(nn.Module):
     # input), but MXU-shaped: the scan feeds 16-row GEMMs n_chunks ×
     # num_blocks times in a chain.  False = legacy scan (A/B probes).
     layer_major: bool = True
+    # max chunk-rows per layer-major attention/FF group (0 = all at
+    # once).  Bounds peak HBM under layer_major at duration-bucketed
+    # recipe batches (see StreamEncoderLayer.forward_all_chunks).
+    layer_major_rows: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -292,8 +317,9 @@ class ChunkEncoder(nn.Module):
             axis=2).reshape(n * B, 1, M + Tc)
 
         def one(layer, h, kmask):
-            return layer.forward_all_chunks(h, kmask, n,
-                                            deterministic=deterministic)
+            return layer.forward_all_chunks(
+                h, kmask, n, deterministic=deterministic,
+                row_cap=self.layer_major_rows)
 
         if self.remat:
             one = nn.remat(one, prevent_cse=False)

@@ -530,3 +530,60 @@ def test_chunk_encoder_layer_major_ref_tail_and_dropout():
     g = jax.grad(loss)(vars_["params"])
     assert all(np.all(np.isfinite(np.asarray(v)))
                for v in jax.tree_util.tree_leaves(g))
+
+
+def test_chunk_encoder_layer_major_row_cap_equals_unbounded():
+    """layer_major_rows groups the attention+FF tail into remat'd row
+    slices (bounds peak HBM at recipe-scale duration buckets); the tail
+    is row-independent once the memory view is gathered, so any cap —
+    including ones that leave a ragged, wrap-padded last group — must be
+    numerics-identical to the unbounded layer-major forward, fwd and
+    grads, with and without the per-layer remat flag."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((3, 230, 80)), jnp.float32)
+    x_len = jnp.asarray([230, 141, 96], jnp.int32)
+    kw = dict(idim=80, attention_dim=16, attention_heads=2,
+              linear_units=32, num_blocks=2, dropout_rate=0.0,
+              left_len=32, cur_len=16, right_len=16, hop_len=16)
+    base = ChunkEncoder(layer_major=True, **kw)
+    vars_ = base.init(jax.random.PRNGKey(0), x, x_len)
+    ref_hs, ref_len = base.apply(vars_, x, x_len)
+
+    def loss_of(enc):
+        def loss(params):
+            h, _ = enc.apply({"params": params}, x, x_len)
+            return jnp.sum(h * h)
+        return loss
+
+    ref_grad = jax.grad(loss_of(base))(vars_["params"])
+    # n·B = 3·n_chunks rows; cap 5 → ragged wrap-padded final group,
+    # cap 8 with remat → the rehearsal configuration's structure
+    for cap, remat in ((5, False), (8, True)):
+        enc = ChunkEncoder(layer_major=True, layer_major_rows=cap,
+                           remat=remat, **kw)
+        hs, hs_len = enc.apply(vars_, x, x_len)
+        np.testing.assert_array_equal(np.asarray(ref_len),
+                                      np.asarray(hs_len))
+        np.testing.assert_allclose(np.asarray(ref_hs), np.asarray(hs),
+                                   atol=1e-5)
+        g = jax.grad(loss_of(enc))(vars_["params"])
+        for path, (a, b) in zip(
+                jax.tree_util.tree_flatten_with_path(ref_grad)[0],
+                zip(jax.tree_util.tree_leaves(ref_grad),
+                    jax.tree_util.tree_leaves(g))):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=3e-5,
+                err_msg=f"cap={cap} remat={remat} "
+                        + jax.tree_util.keystr(path[0]))
+
+    # the training (dropout) path runs and differentiates under row caps
+    drop = ChunkEncoder(layer_major=True, layer_major_rows=5,
+                        **{**kw, "dropout_rate": 0.3})
+    def dloss(params):
+        h, _ = drop.apply({"params": params}, x, x_len,
+                          deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        return jnp.sum(h * h)
+    g = jax.grad(dloss)(vars_["params"])
+    assert all(np.all(np.isfinite(np.asarray(v)))
+               for v in jax.tree_util.tree_leaves(g))

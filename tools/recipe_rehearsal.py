@@ -161,7 +161,12 @@ def main():
                 decoder_num_block=6,
                 # the chunk scan's saved per-chunk activations OOM 16 GB
                 # HBM at 500 s-audio batches without remat
-                encoder_remat=True)}
+                encoder_remat=True,
+                # layer-major stacks every chunk of the 500 s duration
+                # bucket into one >1.2k-row batch whose attention/FF
+                # temps OOM 16 GB HBM even under remat (r3 sweep-6
+                # failure); cap the rows per remat'd group
+                encoder_layer_major_rows=384)}
     if args.smoke:
         small = dict(
             encoder_attention_dim=32, encoder_attention_heads=2,
