@@ -73,6 +73,20 @@ def pad_stack(arrays: Sequence[np.ndarray], pad_value, length: int,
     return out
 
 
+def _quantize_i16(w: np.ndarray) -> np.ndarray:
+    """float [-1,1) wave -> int16 on the readers' /32768 grid
+    (reader.py:89).  PCM-sourced samples round-trip exactly."""
+    if w.dtype == np.int16:
+        return w
+    return np.clip(np.rint(w * 32768.0), -32768, 32767).astype(np.int16)
+
+
+def _dequantize_i16(w: np.ndarray) -> np.ndarray:
+    if w.dtype == np.int16:
+        return w.astype(np.float32) / np.float32(32768.0)
+    return w
+
+
 class AudioDataSet:
     """Kaldi-scp dataset; one __getitem__ row = one utterance dict."""
 
@@ -84,7 +98,11 @@ class AudioDataSet:
                  sample_bucket: int = SAMPLE_RATE,
                  token_bucket: int = 8,
                  batch_pad_multiple: int = 1,
-                 cache_audio_mb: int = 0):
+                 cache_audio_mb: int = 0,
+                 wire_dtype: str = "float32"):
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"wire_dtype must be 'float32' or 'int16', got {wire_dtype!r}")
         if isinstance(wav_list, str):
             wav_list = [wav_list]
         if isinstance(text_list, str):
@@ -109,6 +127,15 @@ class AudioDataSet:
         # stays valid across epochs.  Insert-until-budget: the epoch's
         # access set is identical every pass, so eviction buys nothing.
         self.cache_audio_mb = cache_audio_mb
+        # host->device wire format for the waveform batch.  'int16' ships
+        # PCM at its SOURCE precision (readers decode int16 samples to
+        # float/32768, reader.py:89) and the on-device frontend
+        # dequantizes — halving H2D bytes per step AND the decoded-audio
+        # cache's RAM (the raw waveform is the largest array in the batch;
+        # on tunneled/bandwidth-scarce hosts the upload is the step wall).
+        # Resampled/speed-perturbed waves re-quantize to the same grid
+        # (error <= 1/65536, the source quantization floor).
+        self.wire_dtype = wire_dtype
         self._wav_cache: Dict[str, np.ndarray] = {}
         self._wav_cache_bytes = 0
         self.train_set: List = []
@@ -164,8 +191,10 @@ class AudioDataSet:
     # ---- batch assembly ----
 
     def _read_waves(self, items: Sequence[Dict]):
-        """Batch audio as 16 kHz float32 waves, via the decoded-audio cache
-        when enabled (see ``cache_audio_mb``)."""
+        """Batch audio as 16 kHz waves, via the decoded-audio cache when
+        enabled (see ``cache_audio_mb``).  Entries are float32, or int16
+        under ``wire_dtype='int16'`` (half the cache RAM; ``merge_batch``
+        handles both)."""
         paths = [it["wav"] for it in items]
         if not self.cache_audio_mb:
             return self._decode_waves(paths)
@@ -175,6 +204,8 @@ class AudioDataSet:
             decoded = dict(zip(missing, self._decode_waves(missing)))
             budget = self.cache_audio_mb * 2 ** 20
             for p, w in decoded.items():
+                if self.wire_dtype == "int16":
+                    w = decoded[p] = _quantize_i16(w)
                 if self._wav_cache_bytes + w.nbytes <= budget:
                     # copy: the native loader hands out views into the
                     # whole (B, max_s) batch buffer — caching the view
@@ -249,7 +280,7 @@ class AudioDataSet:
             # speed perturbation (reference datatrans.py:29-40 via sox);
             # resampling the wave by 1/ratio is the same time-stretch
             waves = [self._speed_perturb(
-                w, _perturb_ratio(perturb_seed, it["id"]))
+                _dequantize_i16(w), _perturb_ratio(perturb_seed, it["id"]))
                 for w, it in zip(waves, items)]
         wave_lens = [len(w) for w in waves]
 
@@ -264,9 +295,18 @@ class AudioDataSet:
                     f"actual {(B, S, L)} — metadata/decoder disagree")
             B, S, L = pad_to
 
-        wav_array = np.full((B, S), float(self.pad_audio), dtype=np.float32)
-        for i, w in enumerate(waves):
-            wav_array[i, : len(w)] = w
+        if self.wire_dtype == "int16":
+            pad_q = int(np.clip(round(float(self.pad_audio) * 32768.0),
+                                -32768, 32767))
+            wav_array = np.full((B, S), pad_q, dtype=np.int16)
+            for i, w in enumerate(waves):
+                wav_array[i, : len(w)] = \
+                    w if w.dtype == np.int16 else _quantize_i16(w)
+        else:
+            wav_array = np.full((B, S), float(self.pad_audio),
+                                dtype=np.float32)
+            for i, w in enumerate(waves):
+                wav_array[i, : len(w)] = _dequantize_i16(w)
         wav_len = np.zeros((B,), dtype=np.int32)
         wav_len[: len(items)] = wave_lens
 
@@ -408,11 +448,12 @@ class BatchAudioDataSet(AudioDataSet):
                  min_token=0, max_token=5000,
                  sample_bucket: int = SAMPLE_RATE, token_bucket: int = 8,
                  batch_pad_multiple: int = 1, shuffle_seed: int = 1,
-                 cache_audio_mb: int = 0):
+                 cache_audio_mb: int = 0,
+                 wire_dtype: str = "float32"):
         super().__init__(wav_list, text_list, feats_list, tokenizer,
                          audio_trans, feats_trans, pad_audio, pad_feats,
                          sample_bucket, token_bucket, batch_pad_multiple,
-                         cache_audio_mb)
+                         cache_audio_mb, wire_dtype)
         self.batch_type = batch_type
         self.batch_size = batch_size
         self.batch_bin = batch_bin

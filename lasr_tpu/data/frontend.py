@@ -61,6 +61,11 @@ class DeviceFrontend:
     def __call__(self, wav: jnp.ndarray, wav_len: jnp.ndarray,
                  key=None, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if jnp.issubdtype(wav.dtype, jnp.integer):
+            # int16 wire format (dataset wire_dtype='int16'): PCM ships at
+            # source precision, dequantized here on device to the readers'
+            # float/32768 convention (reader.py:89) — half the H2D bytes
+            wav = wav.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         feats, feat_len = None, None
         for kind, _ in self._plan:
             if kind == "norm":

@@ -230,3 +230,61 @@ def test_soxspeed_host_transform(toy_corpus):
     feats, _ = fe(jnp.asarray(batch["wav_array"]),
                   jnp.asarray(batch["wav_len"]))
     assert feats.shape[-1] == 80
+
+
+def test_int16_wire_format(toy_corpus):
+    """wire_dtype='int16' ships PCM at source precision: WAV-sourced
+    batches are BIT-identical after the on-device dequant (the decoder
+    itself divides int16 by 32768, reader.py:89), the cache holds int16
+    (half the RAM), and the frontend output matches the float32 wire to
+    the quantization floor."""
+    tok = CharTokenizer(str(toy_corpus / "dict.txt"))
+
+    def make(wire):
+        ds = BatchAudioDataSet(
+            wav_list=str(toy_corpus / "wav.scp"),
+            text_list=str(toy_corpus / "text"),
+            tokenizer=tok, audio_trans=["norm", "fbank:80"],
+            batch_type="duration", batch_duration=2.0, min_duration=0.0,
+            text_freq=0.0, cache_audio_mb=64, wire_dtype=wire)
+        ds.load_check_data()
+        return ds
+
+    fb = list(make("float32").batches(seed=3))
+    qb = list(make("int16").batches(seed=3))
+    assert len(fb) == len(qb)
+    frontend = DeviceFrontend(["norm", "fbank:80"])
+    for a, b in zip(fb, qb):
+        assert b["wav_array"].dtype == np.int16
+        assert a["wav_array"].dtype == np.float32
+        assert b["wav_array"].nbytes * 2 == a["wav_array"].nbytes
+        # WAV decode is float(int16)/32768 -> requantization is exact
+        deq = b["wav_array"].astype(np.float32) / 32768.0
+        np.testing.assert_array_equal(a["wav_array"], deq)
+        fa, la = frontend(jnp.asarray(a["wav_array"]),
+                          jnp.asarray(a["wav_len"]))
+        fq, lq = frontend(jnp.asarray(b["wav_array"]),
+                          jnp.asarray(b["wav_len"]))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lq))
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fq),
+                                   atol=1e-4)
+
+    # the int16 cache stores int16
+    ds = make("int16")
+    _ = list(ds.batches())
+    assert all(w.dtype == np.int16 for w in ds._wav_cache.values())
+
+    # soxspeed path: perturbed waves requantize (error bounded by the
+    # source quantization floor)
+    ds2 = BatchAudioDataSet(
+        wav_list=str(toy_corpus / "wav.scp"),
+        text_list=str(toy_corpus / "text"),
+        tokenizer=tok, audio_trans=["soxspeed", "norm", "fbank:80"],
+        batch_type="duration", batch_duration=2.0, min_duration=0.0,
+        text_freq=0.0, cache_audio_mb=64, wire_dtype="int16")
+    ds2.load_check_data()
+    for b in ds2.batches(seed=5):
+        assert b["wav_array"].dtype == np.int16
+
+    with pytest.raises(ValueError):
+        AudioDataSet(wire_dtype="bf16")

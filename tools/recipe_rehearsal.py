@@ -191,6 +191,10 @@ def main():
         kw["text_list"] = [os.path.join(data, split, "text")]
         # single-core host: FLAC re-decode dominates the epoch without it
         kw["cache_audio_mb"] = 2048
+        # tunneled TPU: the per-step H2D upload of the waveform batch is
+        # the steady-state wall (~35 MB/step at batch_duration 500);
+        # int16 is the PCM source precision — half the bytes, losslessly
+        kw["wire_dtype"] = "int16"
     cfg_path = os.path.join(root, "config.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
