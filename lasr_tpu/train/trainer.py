@@ -476,28 +476,41 @@ class Trainer:
             skip = start_skip if epoch == start_epoch else 0
             batch_idx = skip
             pending = []
+            # pipeline split: host time blocked pulling the next staged
+            # batch (decode+assembly+quantize+put) vs time in the step
+            # dispatch; the remainder of each flush's wall delta is the
+            # device sync absorbed by _flush_metrics' device_get
+            t_data = t_disp = 0.0
             from lasr_tpu.parallel.mesh import batch_sharding
+            t_mark = time.perf_counter()
             for batch in _device_prefetch(train_dataset.batches(
                     shuffle=True, seed=self.seed + epoch,
                     num_workers=num_workers,
                     process_index=proc_idx, process_count=proc_cnt,
                     skip=skip),
                     sharding=batch_sharding(self.mesh)):
+                t_data += time.perf_counter() - t_mark
+                t_mark = time.perf_counter()
                 state, metrics = self.train_step(state, batch)
+                t_disp += time.perf_counter() - t_mark
                 host_step += 1
                 batch_idx += 1
                 pending.append((state.step, metrics,
                                 batch["n_utts"], host_step))
                 if len(pending) >= self.log_interval:
-                    self._flush_metrics(pending, epoch, metrics_path, t0)
+                    self._flush_metrics(pending, epoch, metrics_path, t0,
+                                        t_data, t_disp)
                     pending = []
+                    t_data = t_disp = 0.0
                 if checkpoint_interval_steps and save_checkpoints and \
                         self.exp_dir and \
                         host_step % checkpoint_interval_steps == 0:
                     self.save_checkpoint(state, step=host_step)
                     self._write_loop_state(host_step, epoch, batch_idx)
+                t_mark = time.perf_counter()
             if pending:
-                self._flush_metrics(pending, epoch, metrics_path, t0)
+                self._flush_metrics(pending, epoch, metrics_path, t0,
+                                    t_data, t_disp)
             valid_metrics = None
             if valid_dataset is not None:
                 valid_metrics = self.validate(state, valid_dataset)
@@ -547,7 +560,8 @@ class Trainer:
             n_batches += 1
         return {k: v / max(n_batches, 1) for k, v in totals.items()}
 
-    def _flush_metrics(self, pending, epoch, metrics_path, t0):
+    def _flush_metrics(self, pending, epoch, metrics_path, t0,
+                       t_data: float = 0.0, t_disp: float = 0.0):
         # one host sync per flush, not per step
         last_step, last_metrics, _, _ = pending[-1]
         host = jax.device_get(last_metrics)
@@ -568,6 +582,8 @@ class Trainer:
                 host.pop("ctc_cer", None)
         line = {"epoch": epoch, "step": step,
                 "utts_cum": utts, "wall_s": round(time.time() - t0, 2),
+                "data_wait_s": round(t_data, 2),
+                "dispatch_s": round(t_disp, 2),
                 **{k: float(v) for k, v in host.items()}}
         if self.schedule is not None:
             line["lr"] = float(self.schedule(
