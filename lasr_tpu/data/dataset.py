@@ -99,10 +99,20 @@ class AudioDataSet:
                  token_bucket: int = 8,
                  batch_pad_multiple: int = 1,
                  cache_audio_mb: int = 0,
-                 wire_dtype: str = "float32"):
+                 wire_dtype: str = "float32",
+                 device_audio_cache: bool = False):
         if wire_dtype not in ("float32", "int16"):
             raise ValueError(
                 f"wire_dtype must be 'float32' or 'int16', got {wire_dtype!r}")
+        if device_audio_cache and audio_trans \
+                and "soxspeed" in list(audio_trans):
+            raise ValueError(
+                "device_audio_cache requires epoch-invariant waveforms; "
+                "soxspeed redraws the speed ratio per epoch — disable one")
+        if device_audio_cache and pad_audio:
+            raise ValueError(
+                "device_audio_cache requires pad_audio=0 (the pool's "
+                "sentinel row is zeros)")
         if isinstance(wav_list, str):
             wav_list = [wav_list]
         if isinstance(text_list, str):
@@ -136,6 +146,12 @@ class AudioDataSet:
         # Resampled/speed-perturbed waves re-quantize to the same grid
         # (error <= 1/65536, the source quantization floor).
         self.wire_dtype = wire_dtype
+        # device-resident waveform pool (see trainer._DeviceAudioPool):
+        # batches additionally carry 'wav_rows' (stable dataset row ids)
+        # and 'wav_S' so the trainer can scatter epoch-1 uploads into an
+        # HBM pool and gather later epochs' batches on device — zero
+        # steady-state waveform H2D.  Requires epoch-invariant waves.
+        self.device_audio_cache = device_audio_cache
         self._wav_cache: Dict[str, np.ndarray] = {}
         self._wav_cache_bytes = 0
         self.train_set: List = []
@@ -149,6 +165,16 @@ class AudioDataSet:
     def load_check_data(self) -> None:
         self.load_dataset()
         self.check_dataset()
+        # stable row ids (post shuffle/sort/filter): the device audio
+        # pool and deterministic resume key off these
+        for i, it in enumerate(self.train_set):
+            it["row"] = i
+
+    def max_bucketed_samples(self) -> int:
+        """Upper bound of any batch's padded S (device-pool row width)."""
+        n = max((self.expected_samples(it) for it in self.train_set),
+                default=1)
+        return round_up(n, self.sample_bucket)
 
     def load_dataset(self) -> None:
         for wav_path, text_path in zip(self.wav_list, self.text_list):
@@ -316,7 +342,7 @@ class AudioDataSet:
             token_id[i, : it["token_len"]] = it["token_id"]
             token_len[i] = it["token_len"]
 
-        return {
+        out = {
             "id": [it["id"] for it in items],
             "wav": [it["wav"] for it in items],
             "text": [it["text"] for it in items],
@@ -326,6 +352,13 @@ class AudioDataSet:
             "token_len": token_len,
             "n_utts": len(items),
         }
+        if self.device_audio_cache:
+            # pad rows point at the pool's zeros sentinel (= n dataset rows)
+            rows = np.full((B,), len(self.train_set), dtype=np.int32)
+            rows[: len(items)] = [it["row"] for it in items]
+            out["wav_rows"] = rows
+            out["wav_S"] = int(S)
+        return out
 
     @staticmethod
     def _speed_perturb(wav: np.ndarray, ratio: float) -> np.ndarray:
@@ -449,11 +482,12 @@ class BatchAudioDataSet(AudioDataSet):
                  sample_bucket: int = SAMPLE_RATE, token_bucket: int = 8,
                  batch_pad_multiple: int = 1, shuffle_seed: int = 1,
                  cache_audio_mb: int = 0,
-                 wire_dtype: str = "float32"):
+                 wire_dtype: str = "float32",
+                 device_audio_cache: bool = False):
         super().__init__(wav_list, text_list, feats_list, tokenizer,
                          audio_trans, feats_trans, pad_audio, pad_feats,
                          sample_bucket, token_bucket, batch_pad_multiple,
-                         cache_audio_mb, wire_dtype)
+                         cache_audio_mb, wire_dtype, device_audio_cache)
         self.batch_type = batch_type
         self.batch_size = batch_size
         self.batch_bin = batch_bin

@@ -468,6 +468,18 @@ class Trainer:
             os.makedirs(self.exp_dir, exist_ok=True)
         proc_idx = jax.process_index()
         proc_cnt = jax.process_count()
+        pool = None
+        if getattr(train_dataset, "device_audio_cache", False):
+            if proc_cnt > 1:
+                logging.warning("device_audio_cache is single-process only "
+                                "(per-host pools are not truly replicated); "
+                                "falling back to the wire path")
+            else:
+                wire = getattr(train_dataset, "wire_dtype", "float32")
+                pool = _DeviceAudioPool(
+                    len(train_dataset.train_set),
+                    train_dataset.max_bucketed_samples(),
+                    jnp.int16 if wire == "int16" else jnp.float32, self.mesh)
         t0 = time.time()
         # host-side step counter: the interval check must not force a
         # device sync on state.step every iteration (round-1 VERDICT item)
@@ -488,9 +500,12 @@ class Trainer:
                     num_workers=num_workers,
                     process_index=proc_idx, process_count=proc_cnt,
                     skip=skip),
-                    sharding=batch_sharding(self.mesh)):
+                    sharding=batch_sharding(self.mesh),
+                    host_transform=pool.strip if pool else None):
                 t_data += time.perf_counter() - t_mark
                 t_mark = time.perf_counter()
+                if pool is not None:
+                    batch = pool.resolve(batch)
                 state, metrics = self.train_step(state, batch)
                 t_disp += time.perf_counter() - t_mark
                 host_step += 1
@@ -600,7 +615,87 @@ class Trainer:
                     tb.scalar(k, v, step)
 
 
-def _device_prefetch(batch_iter, depth: int = 2, sharding=None):
+class _DeviceAudioPool:
+    """Device-resident waveform pool (dataset ``device_audio_cache``).
+
+    The waveform batch is the largest array crossing host→device each
+    step; on bandwidth-scarce links the upload IS the steady-state wall
+    (BASELINE.md: ~18 s/step rehearsal vs a 116 ms compiled step).  The
+    waves are epoch-invariant (the dataset rejects soxspeed), so epoch 1
+    scatters every uploaded batch into an HBM pool at its stable dataset
+    row ids — no extra transfer — and later epochs ship ONLY row indices;
+    the (B, S) batch is gathered on device.  Steady-state waveform H2D is
+    zero and the step returns to compute-bound.
+
+    The pool is mesh-replicated — after reshuffling, any chip may draw
+    any row — costing (n_rows+1)·S_max·itemsize HBM per device (row n is
+    the zeros sentinel that padded batch rows point at).  Single-process
+    only: under multi-host each host fills only its scp shard, and a
+    'replicated' array whose replicas genuinely differ invites XLA to
+    mis-optimize; ``Trainer.fit`` skips the pool when process_count > 1.
+    """
+
+    def __init__(self, n_rows: int, s_max: int, dtype, mesh):
+        from lasr_tpu.parallel.mesh import batch_sharding, replicated
+        self.pool = jax.device_put(jnp.zeros((n_rows + 1, s_max), dtype),
+                                   replicated(mesh))
+        self._have = np.zeros(n_rows + 1, dtype=bool)
+        self._have[n_rows] = True
+        self._batch_sh = batch_sharding(mesh)
+        self._scatter: Dict = {}
+        self._gather: Dict = {}
+        logging.info("device audio pool: %d rows x %d samples (%s, %.1f "
+                     "MB HBM/device)", n_rows, s_max, np.dtype(dtype),
+                     self.pool.nbytes / 2 ** 20)
+
+    def strip(self, host_batch: Dict) -> Dict:
+        """Host-side (pre-upload): drop the waveform from batches whose
+        rows are already pooled.  Strip order == resolve order (the
+        prefetch queue is FIFO and drained within the epoch), so marking
+        coverage here is safe: by the time a stripped batch is resolved,
+        the batch that pooled its rows has been resolved before it."""
+        rows = host_batch.get("wav_rows")
+        if rows is None:
+            return host_batch
+        if self._have[rows].all():
+            host_batch = dict(host_batch)
+            del host_batch["wav_array"]
+        else:
+            self._have[rows] = True
+        return host_batch
+
+    def resolve(self, batch: Dict) -> Dict:
+        """Device-side (post-upload): scatter a carried waveform into the
+        pool, or gather a stripped batch's waveform out of it."""
+        if batch.get("wav_rows") is None:
+            return batch
+        if "wav_array" in batch:
+            wav = batch["wav_array"]
+            key = (wav.shape, str(wav.dtype))
+            fn = self._scatter.get(key)
+            if fn is None:
+                S = wav.shape[1]
+                fn = self._scatter[key] = jax.jit(
+                    lambda pool, r, w: pool.at[r, :S].set(
+                        w, mode="promise_in_bounds"),
+                    donate_argnums=0)
+            self.pool = fn(self.pool, batch["wav_rows"], wav)
+            return batch
+        S = batch["wav_S"]
+        B = batch["wav_rows"].shape[0]
+        key = (B, S)
+        fn = self._gather.get(key)
+        if fn is None:
+            fn = self._gather[key] = jax.jit(
+                lambda pool, r: pool[r, :S],
+                out_shardings=self._batch_sh)
+        out = dict(batch)
+        out["wav_array"] = fn(self.pool, batch["wav_rows"])
+        return out
+
+
+def _device_prefetch(batch_iter, depth: int = 2, sharding=None,
+                     host_transform=None):
     """Stage host batches onto the device ``depth`` steps ahead so the
     upload overlaps the previous step's compute (the reference gets the
     same overlap from DataLoader workers + pinned memory + cudaMemcpyAsync;
@@ -622,6 +717,8 @@ def _device_prefetch(batch_iter, depth: int = 2, sharding=None):
         return {k: one(v) for k, v in b.items()}
 
     for b in batch_iter:
+        if host_transform is not None:
+            b = host_transform(b)
         q.append(put(b))
         if len(q) > depth:
             yield q.popleft()

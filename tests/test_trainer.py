@@ -647,3 +647,52 @@ def test_seq_parallel_pads_odd_time_dim(toy):
     np.testing.assert_array_equal(np.asarray(hl1), np.asarray(hl2))
     np.testing.assert_allclose(np.asarray(hs2)[:, : hs1.shape[1]],
                                np.asarray(hs1), rtol=2e-4, atol=2e-5)
+
+
+def test_device_audio_cache_matches_wire_path(toy, tmp_path):
+    """device_audio_cache: epoch 1 scatters each uploaded batch into the
+    HBM pool; epoch 2+ ships only row ids and gathers on device.  The
+    training must be BIT-identical to the wire path (same batches, same
+    rng keying), across 3 epochs including a shuffle reorder."""
+    root, tok, _ = toy
+
+    def run(device_cache):
+        ds = BatchAudioDataSet(
+            wav_list=str(root / "wav.scp"), text_list=str(root / "text"),
+            tokenizer=tok, audio_trans=["norm", "fbank:80", "specaug"],
+            batch_type="size", batch_size=8, min_duration=0.0,
+            text_freq=0.0, batch_pad_multiple=8, wire_dtype="int16",
+            device_audio_cache=device_cache)
+        ds.load_check_data()
+        exp = str(tmp_path / f"exp_dc{int(device_cache)}")
+        trainer, _ = _make_trainer(tok, exp_dir=exp)
+        trainer.log_interval = 1
+        state = trainer.init_state(next(iter(ds.batches())))
+        state = trainer.fit(state, ds, num_epochs=3, num_workers=2,
+                            save_checkpoints=False)
+        import json
+        rows = [json.loads(l) for l in
+                open(os.path.join(exp, "metrics.jsonl"))]
+        return state, [r["loss_main"] for r in rows if "loss_main" in r]
+
+    s0, losses0 = run(False)
+    s1, losses1 = run(True)
+    assert len(losses0) == len(losses1) >= 6
+    np.testing.assert_array_equal(losses0, losses1)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_audio_cache_rejects_soxspeed_and_pad(toy):
+    root, tok, _ = toy
+    with pytest.raises(ValueError):
+        BatchAudioDataSet(
+            wav_list=str(root / "wav.scp"), text_list=str(root / "text"),
+            tokenizer=tok, audio_trans=["soxspeed", "fbank:80"],
+            device_audio_cache=True)
+    with pytest.raises(ValueError):
+        BatchAudioDataSet(
+            wav_list=str(root / "wav.scp"), text_list=str(root / "text"),
+            tokenizer=tok, audio_trans=["fbank:80"], pad_audio=1,
+            device_audio_cache=True)

@@ -195,6 +195,10 @@ def main():
         # the steady-state wall (~35 MB/step at batch_duration 500);
         # int16 is the PCM source precision — half the bytes, losslessly
         kw["wire_dtype"] = "int16"
+        if split == "train":
+            # ... and the corpus fits HBM: epoch 1 fills a device pool,
+            # later epochs ship row ids only (zero waveform H2D)
+            kw["device_audio_cache"] = True
     cfg_path = os.path.join(root, "config.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
