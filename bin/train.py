@@ -53,6 +53,12 @@ def main(argv=None):
     parser.add_argument("-checkpoint_interval_steps", default=0, type=int,
                         help="additionally checkpoint mid-epoch every N "
                              "steps (0 = per-epoch only)")
+    parser.add_argument("-valid_interval_epochs", default=1, type=int,
+                        help="run validation every N epochs (always on the "
+                             "final epoch); Lightning check_val_every_n_epoch")
+    parser.add_argument("-checkpoint_interval_epochs", default=1, type=int,
+                        help="save the per-epoch checkpoint every N epochs "
+                             "(always on the final epoch)")
     parser.add_argument("-num_workers", default=8, type=int)
     parser.add_argument("-seed", default=0, type=int)
     parser.add_argument("-log_interval", default=50, type=int)
@@ -165,7 +171,10 @@ def main(argv=None):
                         auto_resume=bool(args.auto_resume)
                         and not args.resume_ckpt,
                         checkpoint_interval_steps=
-                        args.checkpoint_interval_steps)
+                        args.checkpoint_interval_steps,
+                        valid_interval_epochs=args.valid_interval_epochs,
+                        checkpoint_interval_epochs=
+                        args.checkpoint_interval_epochs)
     logging.info("done at step %d", int(state.step))
     return 0
 

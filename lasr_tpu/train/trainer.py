@@ -442,7 +442,9 @@ class Trainer:
             num_epochs: int = 1, num_workers: int = 4,
             save_checkpoints: bool = True,
             checkpoint_interval_steps: int = 0,
-            auto_resume: bool = False) -> TrainState:
+            auto_resume: bool = False,
+            valid_interval_epochs: int = 1,
+            checkpoint_interval_epochs: int = 1) -> TrainState:
         """Run the training loop.
 
         ``checkpoint_interval_steps`` > 0 additionally checkpoints mid-epoch
@@ -450,6 +452,14 @@ class Trainer:
         one exists — together these give preemption recovery beyond the
         reference's manual ``-resume_ckpt`` (SURVEY.md §5: the reference has
         no failure-recovery subsystem).
+
+        ``valid_interval_epochs`` / ``checkpoint_interval_epochs`` > 1 run
+        validation / the per-epoch checkpoint only every N epochs (always on
+        the final epoch) — the Lightning ``check_val_every_n_epoch`` /
+        ``ModelCheckpoint(every_n_epochs=…)`` knobs the reference leaves at
+        1.  On fast-epoch corpora (small sets, ``device_audio_cache``) the
+        per-epoch validation pass and the checkpoint's device→host snapshot
+        otherwise dominate wall clock.
         """
         start_epoch, start_skip = 0, 0
         if auto_resume and self.exp_dir:
@@ -526,8 +536,10 @@ class Trainer:
             if pending:
                 self._flush_metrics(pending, epoch, metrics_path, t0,
                                     t_data, t_disp)
+            last_epoch = epoch == num_epochs - 1
             valid_metrics = None
-            if valid_dataset is not None:
+            if valid_dataset is not None and (
+                    last_epoch or (epoch + 1) % valid_interval_epochs == 0):
                 valid_metrics = self.validate(state, valid_dataset)
                 logging.info("epoch %d valid: %s", epoch,
                              {k: round(float(v), 4)
@@ -538,7 +550,9 @@ class Trainer:
                             {"epoch": epoch, "step": int(state.step),
                              **{"valid_" + k: float(v)
                                 for k, v in valid_metrics.items()}}) + "\n")
-            if save_checkpoints and self.exp_dir:
+            if save_checkpoints and self.exp_dir and (
+                    last_epoch
+                    or (epoch + 1) % checkpoint_interval_epochs == 0):
                 self.save_checkpoint(state, valid_metrics, step=host_step)
                 self._write_loop_state(host_step, epoch + 1, 0)
         if save_checkpoints and self.exp_dir:

@@ -696,3 +696,26 @@ def test_device_audio_cache_rejects_soxspeed_and_pad(toy):
             wav_list=str(root / "wav.scp"), text_list=str(root / "text"),
             tokenizer=tok, audio_trans=["fbank:80"], pad_audio=1,
             device_audio_cache=True)
+
+
+def test_valid_and_checkpoint_interval_epochs(toy, tmp_path):
+    """valid_interval_epochs / checkpoint_interval_epochs: validation and
+    the per-epoch checkpoint run every N epochs plus the final epoch."""
+    root, tok, ds = toy
+    exp = str(tmp_path / "exp_iv")
+    trainer, _ = _make_trainer(tok, exp_dir=exp)
+    state = trainer.init_state(next(iter(ds.batches())))
+    trainer.fit(state, ds, valid_dataset=ds, num_epochs=5, num_workers=0,
+                valid_interval_epochs=2, checkpoint_interval_epochs=2)
+    import json
+    valid_epochs = []
+    for line in open(os.path.join(exp, "metrics.jsonl")):
+        row = json.loads(line)
+        if "valid_loss_main" in row:
+            valid_epochs.append(row["epoch"])
+    # epochs 0-4: (e+1)%2==0 -> 1, 3; final epoch 4 always validates
+    assert valid_epochs == [1, 3, 4]
+    steps_per_epoch = len(list(ds.batches()))
+    saved = sorted(int(d) for d in
+                   os.listdir(os.path.join(exp, "checkpoints", "last")))
+    assert saved == [steps_per_epoch * e for e in (2, 4, 5)]

@@ -95,6 +95,13 @@ def main():
                          "optimizer steps; pick ~half the run so the LR "
                          "actually peaks — the online run at 600 utts has "
                          "only 4 batches/epoch)")
+    ap.add_argument("--valid-interval", type=int, default=1,
+                    help="validate every N epochs (train CLI "
+                         "-valid_interval_epochs)")
+    ap.add_argument("--ckpt-interval", type=int, default=1,
+                    help="per-epoch checkpoint every N epochs; each save "
+                         "snapshots ~530 MB device->host over the tunnel "
+                         "(train CLI -checkpoint_interval_epochs)")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--smoke", action="store_true",
@@ -232,6 +239,8 @@ def main():
             [sys.executable, os.path.join(REPO, "bin/train.py"),
              "-config", cfg_path, "-exp_dir", exp,
              "-num_epochs", str(args.epochs), "-num_devices", "1",
+             "-valid_interval_epochs", str(args.valid_interval),
+             "-checkpoint_interval_epochs", str(args.ckpt_interval),
              "-log_interval", "20"],
             env=env, capture_output=True, text=True)
         train_s = time.time() - t0
