@@ -160,11 +160,20 @@ def main(argv=None):
     out = open(args.output_file, "w", encoding="utf-8")
     nbest_out = open(args.output_file + ".nbest", "w", encoding="utf-8") \
         if nbest > 1 else None
+    # per-batch timing: each padded batch shape compiles once, so the
+    # first batch of a shape absorbs compile — the "steady" split
+    # excludes those and is the deployment-shaped RTF numerator
+    import time as _time
+    import json as _json
+    shapes_seen = set()
+    t_total = t_steady = audio_total = audio_steady = 0.0
+    n_batches = 0
     # group utterances to keep device batches full
     items = list(test_dataset.train_set)
     for lo in range(0, len(items), args.batch):
         chunk = items[lo: lo + args.batch]
         batch = test_dataset.merge_batch(chunk)
+        t_batch = _time.perf_counter()
         feats, feat_len = frontend(jnp.asarray(batch["wav_array"]),
                                    jnp.asarray(batch["wav_len"]))
         hyps = None
@@ -209,6 +218,17 @@ def main(argv=None):
                     hyp_texts.append(res["text"])
             else:
                 hyp_ids = ctc_greedy_decode(logits, hs_len)[: len(chunk)]
+        dt = _time.perf_counter() - t_batch
+        secs = float(np.sum(batch["wav_len"])) / 16000.0
+        t_total += dt
+        audio_total += secs
+        n_batches += 1
+        key = tuple(batch["wav_array"].shape)
+        if key in shapes_seen:
+            t_steady += dt
+            audio_steady += secs
+        else:
+            shapes_seen.add(key)
         for b, item in enumerate(chunk):
             _, ref_id = tokenizer.encode(item["text"])
             _, ref = tokenizer.decode(ref_id, no_special=True)
@@ -233,6 +253,15 @@ def main(argv=None):
     out.close()
     print(f"Totol WER is {acc.rate}")
     print(acc.report())
+    print(_json.dumps({
+        "decode_batches": n_batches,
+        "decode_total_s": round(t_total, 2),
+        "audio_total_s": round(audio_total, 2),
+        "rtf": round(t_total / audio_total, 4) if audio_total else None,
+        "decode_steady_s": round(t_steady, 2),
+        "audio_steady_s": round(audio_steady, 2),
+        "rtf_steady": round(t_steady / audio_steady, 4)
+        if audio_steady else None}))
     return 0
 
 

@@ -309,9 +309,12 @@ def main():
     if r.returncode != 0:
         sys.exit(r.returncode)
     wer = None
+    timing = {}
     for line in r.stdout.splitlines():
         if "Totol WER is" in line:
             wer = float(line.split()[-1])
+        elif line.startswith('{"decode_batches"'):
+            timing = json.loads(line)
     # dev audio seconds for RTF
     from lasr_tpu.data.reader import get_audio_duration, read_scp
     dev_secs = sum(get_audio_duration(p) for _, p in
@@ -319,6 +322,11 @@ def main():
     print(json.dumps({"stage": "decode", "wall_s": round(decode_s, 1),
                       "dev_audio_s": round(dev_secs, 1),
                       "rtf_incl_compile": round(decode_s / dev_secs, 3),
+                      # bin/decode.py's own per-batch split: steady
+                      # excludes each padded shape's first (compiling)
+                      # batch — the deployment-shaped decode RTF
+                      "rtf_steady": timing.get("rtf_steady"),
+                      "decode_steady_s": timing.get("decode_steady_s"),
                       "synthetic_wer": wer,
                       "hparams": os.path.join(exp, "hparams.yaml"),
                       "checkpoints": os.path.join(exp, "checkpoints")}),
