@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -49,7 +50,7 @@ def _rot_tables(T: int, M: int):
 
 def _rel_fold_ctx(q_u, q_v, k, v, kmat, pos_table, mask, neg, dk):
     """Full rel-pos (folded-table) attention interior as one pure function
-    — the remat_attend=2 region (see RelPositionMultiHeadedAttention)."""
+    — the remat_attend>=2 region (see RelPositionMultiHeadedAttention)."""
     ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
     z = jnp.einsum("bqhd,mhd->bhqm", q_v, kmat)
     bd = jnp.einsum("bhqm,qkm->bhqk", z, pos_table)
@@ -65,7 +66,21 @@ def _softmax_ctx(scores, v, mask, neg):
     if mask is not None:
         # zero fully-masked rows (see the comment in _softmax_attend)
         attn = jnp.where(mask, attn, 0.0)
+    # named so remat_attend=3's save_only_these_names policy can keep the
+    # softmax OUTPUT as the region's single residual (a no-op otherwise)
+    attn = jax.ad_checkpoint.checkpoint_name(attn, "attn_probs")
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+
+def _remat_policy(level: int):
+    """remat_attend>=2 checkpoint policy: 2 = save nothing (recompute
+    scores AND softmax in bwd); 3 = save only the named softmax output —
+    bwd then re-runs neither the score matmuls (their grads contract the
+    saved region inputs directly) nor the exp chain (softmax bwd needs
+    only its output), and exactly one (B,H,T,T) tensor survives fwd."""
+    if level >= 3:
+        return jax.checkpoint_policies.save_only_these_names("attn_probs")
+    return jax.checkpoint_policies.nothing_saveable
 
 
 class MultiHeadedAttention(nn.Module):
@@ -76,7 +91,12 @@ class MultiHeadedAttention(nn.Module):
     # rematerialize the attention interior in the backward pass instead of
     # saving (B, H, T, T)-sized intermediates: 1 = recompute the softmax
     # region (scores stay saved), 2 = recompute scores too (only q/k/v and
-    # the position projections are saved).  Saved (B,H,T,T) tensors are
+    # the position projections are saved), 3 = checkpoint the whole
+    # interior but save the softmax OUTPUT (between 1 and 2: one saved
+    # (B,H,T,T) tensor like level 1, but bwd recomputes neither the score
+    # matmuls nor the exp chain — softmax bwd needs only its output, and
+    # the score-einsum grads contract the saved region inputs directly).
+    # Saved (B,H,T,T) tensors are
     # what XLA spills and relayouts between their forward producer and the
     # several backward consumers (~15 ms/step of pure copies at recipe
     # shapes, tools/xprof_detail.py) — recomputing them keeps each
@@ -121,7 +141,7 @@ class MultiHeadedAttention(nn.Module):
         if self._remat_ok(deterministic):
             core = jax.checkpoint(
                 _softmax_ctx, static_argnums=(3,),
-                policy=jax.checkpoint_policies.nothing_saveable)
+                policy=_remat_policy(self.remat_attend))
             x = core(scores, v, mask, _mask_min(scores.dtype))
             B, T1 = x.shape[:2]
             return self.linear_out(x.reshape(B, T1, self.n_feat))
@@ -387,17 +407,18 @@ class RelPositionMultiHeadedAttention(MultiHeadedAttention):
             kernel = self.linear_pos.get_kernel()       # (M, n_feat)
             kmat = kernel.reshape(kernel.shape[0], self.n_head, self.d_k)
             if self.remat_attend >= 2 and self._remat_ok(deterministic):
-                # recompute the whole score interior in the backward pass:
-                # only q/k/v-sized tensors and the (shared, layer-invariant)
-                # pos_table are saved — no (B,H,T,T) tensor survives the
-                # forward, so none is spilled or relayouted
+                # checkpoint the whole score interior: level 2 saves only
+                # q/k/v-sized tensors and the (shared, layer-invariant)
+                # pos_table — no (B,H,T,T) tensor survives the forward, so
+                # none is spilled or relayouted; level 3 additionally keeps
+                # the named softmax output (see _remat_policy)
                 m = mask
                 if m is not None:
                     while m.ndim < 4:
                         m = m[:, None] if m.ndim == 3 else m[None]
                 core = jax.checkpoint(
                     _rel_fold_ctx, static_argnums=(7, 8),
-                    policy=jax.checkpoint_policies.nothing_saveable)
+                    policy=_remat_policy(self.remat_attend))
                 x = core(q_u, q_v, k, v, kmat.astype(q_v.dtype),
                          pos_table.astype(q_v.dtype), m,
                          _mask_min(q_v.dtype), self.d_k)
