@@ -68,10 +68,13 @@ def gen_corpus(root: str, n_utt: int, lexicon, seed: int):
         words = [lexicon[int(w)] for w in rng.integers(0, len(lexicon), k)]
         wav = np.concatenate([_word_wave(w, rng) for w in words])
         wav = wav + 0.01 * rng.standard_normal(len(wav))
-        pcm16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
         uid = f"spk1-{seed}{i:05d}"
         p = os.path.join(root, uid + ".flac")
-        write_flac(p, pcm16, SR)
+        # write_flac takes FLOAT [-1,1] and scales to PCM itself; the
+        # round-3 sweeps passed int16 here, which clipped the corpus to
+        # square waves (tones kept their fundamentals, so training still
+        # worked — but the fix makes the audio what it claims to be)
+        write_flac(p, np.clip(wav, -1.0, 1.0), SR)
         scp.append(f"{uid} {p}")
         txt.append(f"{uid} {' '.join(words)}")
         lines.append(" ".join(words))
