@@ -68,6 +68,72 @@ def _get_engine(model, variables, cfg) -> ServingEngine:
     return eng
 
 
+class IncrementalBeamSession:
+    """Resumable online joint beam search for one stream (VERDICT round-3
+    item 3).
+
+    Wraps a ``CTCAttBeamDecoder(online=True)``: the search's while-loop
+    carry lives on-device between refreshes, and each ``refresh`` extends
+    the persisted state over only the NEW encoder frames, then runs search
+    steps until the frame horizon pauses the search (see
+    ``CTCAttBeamDecoder._resume``).  ``refresh(..., final=True)`` completes
+    the search — by construction exactly equal to the from-scratch
+    full-utterance search (pinned in test_incremental_beam.py).
+
+    Per-refresh cost is O(new tokens x frames-so-far) instead of the old
+    from-scratch O(all tokens x frames) — the prefix is never re-decoded.
+    """
+
+    def __init__(self, decoder, bucket: int = 64):
+        import jax
+        if not decoder.online:
+            raise ValueError("IncrementalBeamSession needs online=True")
+        if decoder.maxlenratio != 0.0 or decoder.minlenratio != 0.0:
+            raise ValueError(
+                "incremental search supports maxlenratio == minlenratio "
+                "== 0 only (their row caps need the final length, which "
+                "is unknown mid-stream)")
+        self.decoder = decoder
+        self.bucket = max(1, bucket)
+        self._jit = jax.jit(decoder._resume, static_argnames=("final",))
+        self._state = None
+        self._n = 0
+
+    def reset(self):
+        self._state = None
+        self._n = 0
+
+    def refresh(self, hs: np.ndarray, final: bool = False):
+        """``hs``: (T, D) ALL accumulated encoder states for the stream so
+        far (numpy; only the tail past the previous refresh is new).
+        Returns (token_ids_with_sos/eos, score, from_live) mid-stream, or
+        a ``BeamHypotheses``-style (tokens, lengths, scores) at final."""
+        import jax.numpy as jnp
+        from lasr_tpu.decode.beam import BeamHypotheses
+        n_new = len(hs)
+        Tb = max(self.bucket, -(-n_new // self.bucket) * self.bucket)
+        hs_pad = np.zeros((1, Tb, hs.shape[-1]), np.float32)
+        hs_pad[0, :n_new] = hs
+        if self._state is None:
+            K = self.decoder.beam
+            dummy_lpz = jnp.zeros((1, Tb, self.decoder.model.odim),
+                                  jnp.float32)
+            self._state = self.decoder._init_state(
+                1, K, 2 * K, Tb + 2, dummy_lpz, track_bands=True)
+        self._state, out = self._jit(
+            self._state, jnp.asarray(hs_pad),
+            jnp.asarray(self._n, jnp.int32),
+            jnp.asarray(n_new, jnp.int32), final=final)
+        self._n = n_new
+        if final:
+            tokens, lengths, scores = (np.asarray(x) for x in out)
+            return BeamHypotheses(tokens=tokens, lengths=lengths,
+                                  scores=scores)
+        tok, length, score, live = (np.asarray(x) for x in out)
+        n = int(length[0])
+        return [int(t) for t in tok[0, :n]], float(score[0]), bool(live[0])
+
+
 class StreamingRecognizer:
     """Greedy streaming CTC recognizer over an E2E_Transformer_CTC_Online
     model (one utterance per instance)."""
@@ -77,6 +143,7 @@ class StreamingRecognizer:
                  peak_norm_fallback: float = 1.0,
                  beam_decoder=None, beam_interval: int = 4,
                  beam_bucket: int = 64, beam_maxlen_ratio: float = 0.5,
+                 beam_incremental: bool = True,
                  engine: Optional[ServingEngine] = None):
         import jax
         import jax.numpy as jnp
@@ -105,6 +172,16 @@ class StreamingRecognizer:
         self.beam_decoder = beam_decoder
         self.beam_interval = max(1, beam_interval)
         self.beam_bucket = beam_bucket
+        # incremental refreshes (default): the search state persists
+        # across refreshes and each one extends over only the NEW chunks'
+        # frames — finalize is exactly the full search (equality pinned in
+        # test_incremental_beam.py).  False = the round-3 from-scratch
+        # re-decode per refresh (kept for A/B and as the fallback for
+        # nonzero maxlenratio/minlenratio configs).
+        self.beam_session = None
+        if beam_decoder is not None and beam_incremental:
+            self.beam_session = IncrementalBeamSession(
+                beam_decoder, bucket=beam_bucket)
         # serving cap on partial-hypothesis length: speech emits ~a token
         # per 2-4 encoder frames at most, so searching to maxlen = T (the
         # untrained/offline worst case) only pays for pathological inputs
@@ -238,9 +315,24 @@ class StreamingRecognizer:
         # full-length rescore follows immediately
         if self.beam_decoder is not None and not draining and \
                 self._n_harvested % self.beam_interval == 0:
-            self._beam_tokens = self._run_beam(final=False)
+            if self.beam_session is not None:
+                self._beam_tokens = self._refresh_incremental()
+            else:
+                self._beam_tokens = self._run_beam(final=False)
             self._greedy_since_beam = []
         return toks
+
+    def _refresh_incremental(self) -> Optional[List[int]]:
+        """Incremental mid-stream refresh: extend the persisted search
+        over the new chunks' encoder states only."""
+        if not self._hs:
+            return None
+        toks, _score, live = self.beam_session.refresh(
+            np.concatenate(self._hs, axis=0), final=False)
+        if len(toks) <= 1:
+            return None
+        # live prefixes carry sos only; ended hypotheses sos...eos
+        return toks[1:] if live else toks[1:-1]
 
     def _run_beam(self, final: bool = True) -> Optional[List[int]]:
         """Online joint beam search over the encoder states seen so far.
@@ -302,7 +394,13 @@ class StreamingRecognizer:
         self._drain_chunks(final=True)
         tokens = list(self._tokens)
         if self.beam_decoder is not None:
-            beam_tokens = self._run_beam()
+            if self.beam_session is not None and self._hs:
+                hyp = self.beam_session.refresh(
+                    np.concatenate(self._hs, axis=0), final=True)
+                beam_tokens = hyp.best_ids(0) if hyp.lengths[0, 0] > 0 \
+                    else None
+            else:
+                beam_tokens = self._run_beam()
             if beam_tokens is not None:
                 tokens = beam_tokens
         if self.tokenizer is not None:

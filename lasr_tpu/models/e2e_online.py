@@ -108,7 +108,8 @@ class E2E_Transformer_CTC_Online(E2EBase):
         forward_one_step_online (endpoint-truncated source attention,
         ctc_att_decoder.py:400), not the offline monotonic step; endpoints
         chain across same-parent siblings in beam order (see
-        StreamDecoderLayer.step_online_chained)."""
+        StreamDecoderLayer.step_online_chained).  Returns
+        (logp, cache, ep_stall)."""
         return self.decoder.forward_one_step_ep(y_t, pos, cache, mem_k,
                                                 mem_v, mem_mask, parent,
                                                 alive)

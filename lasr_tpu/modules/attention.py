@@ -550,13 +550,21 @@ class MTMultiHeadedAttention(MultiHeadedAttention):
     def advance_endpoint(s, endpoint):
         """Reference endpoint advance (attention.py:112-116): the first
         position > endpoint with score > 0, else unchanged.  s: (..., T2);
-        endpoint: (...,) broadcastable to s's leading dims."""
+        endpoint: (...,) broadcastable to s's leading dims.
+
+        Returns (new_endpoint, advanced) — ``advanced`` reports whether a
+        candidate position existed.  Incremental streaming search uses
+        ``~advanced`` as a pause signal: with only a prefix of the memory
+        visible (later keys masked), a failed advance is indistinguishable
+        from "the advance position hasn't arrived yet", so the search must
+        wait for more frames to stay exactly equal to the full search."""
         T2 = s.shape[-1]
         pos = jnp.arange(T2)
         beyond = pos > endpoint[..., None]
         cand = beyond & (s > 0)
         first = jnp.argmax(cand, axis=-1)
-        return jnp.where(jnp.any(cand, axis=-1), first, endpoint)
+        has = jnp.any(cand, axis=-1)
+        return jnp.where(has, first, endpoint), has
 
     def decode_attend(self, q, k, v, endpoint, mask=None):
         """Single-step monotonic decode with per-head endpoint advance.

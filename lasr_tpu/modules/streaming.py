@@ -681,10 +681,12 @@ class StreamDecoderLayer(nn.Module):
         per PREVIOUS beam slot; ``parent``: (B, K) previous-slot index of
         each current hypothesis; ``alive``: (B, K) — dead slots are
         expanded vacuously and must not mutate the chain.  Returns
-        (x, self_k, self_v, ep_eff (B, K, H)) — ep_eff[k] is hypothesis
-        k's effective endpoints this step AND the per-slot state the next
-        step's chain starts from (the reference's fresh list copy,
-        decoder.py:133)."""
+        (x, self_k, self_v, ep_eff (B, K, H), ep_stall (B, K)) — ep_eff[k]
+        is hypothesis k's effective endpoints this step AND the per-slot
+        state the next step's chain starts from (the reference's fresh
+        list copy, decoder.py:133); ep_stall flags live hypotheses whose
+        advance found no candidate among the visible (unmasked) keys —
+        the incremental search's pause signal."""
         residual = x_t
         x = self.norm1(x_t) if self.normalize_before else x_t
         q = self.self_attn.project_q(x)
@@ -708,17 +710,22 @@ class StreamDecoderLayer(nn.Module):
             s_k, p_k, a_k = xs            # (B,H,T2), (B,), (B,)
             cur = jnp.take_along_axis(
                 ep_state, p_k[:, None, None], axis=1)[:, 0]       # (B,H)
-            new = self.src_attn.advance_endpoint(s_k, cur)
+            new, has = self.src_attn.advance_endpoint(s_k, cur)
             new = jnp.where(a_k[:, None], new, cur)
+            # a live hypothesis whose advance found no candidate among the
+            # VISIBLE keys may advance once more frames exist — the
+            # incremental search pauses on this (see advance_endpoint)
+            stall = a_k & jnp.any(~has, axis=-1)                  # (B,)
             slot = (jnp.arange(K)[None, :] == p_k[:, None])       # (B,K)
             upd = slot[:, :, None] & a_k[:, None, None]
             ep_state = jnp.where(upd, new[:, None, :], ep_state)
-            return ep_state, new
+            return ep_state, (new, stall)
 
-        _, ep_eff = jax.lax.scan(
+        _, (ep_eff, ep_stall) = jax.lax.scan(
             chain, ep_slots,
             (jnp.moveaxis(sK, 1, 0), parent.T, alive.T))
         ep_eff = jnp.moveaxis(ep_eff, 0, 1)                       # (B,K,H)
+        ep_stall = ep_stall.T                                     # (B,K)
 
         att = self.src_attn.decode_context(
             s, mem_v, ep_eff.reshape(B * K, -1))
@@ -731,7 +738,7 @@ class StreamDecoderLayer(nn.Module):
         x = residual + self.feed_forward(y, deterministic=True)
         if not self.normalize_before:
             x = self.norm3(x)
-        return x, self_k, self_v, ep_eff
+        return x, self_k, self_v, ep_eff, ep_stall
 
     def step_online(self, x_t, pos, self_k, self_v, memory, endpoint):
         """One cached online decode step: self-attn over the KV prefix,
@@ -902,21 +909,24 @@ class StreamDecoder(nn.Module):
         h = h * _math.sqrt(self.attention_dim) + \
             jax.lax.dynamic_slice_in_dim(table, pos, 1, axis=0)[None]
         ks, vs, eps = [], [], []
+        ep_stall = jnp.zeros((B, K), bool)
         for i, layer in enumerate(self.decoders):
             ep_slots = cache["ep"][i].reshape(B, K, -1)
-            h, k, v, ep = layer.step_online_chained(
+            h, k, v, ep, stall = layer.step_online_chained(
                 h, pos, cache["k"][i], cache["v"][i], mem_k[i], mem_v[i],
                 ep_slots, parent, alive, mem_mask)
             ks.append(k)
             vs.append(v)
             eps.append(ep.reshape(B * K, -1))
+            ep_stall = ep_stall | stall
         if self.normalize_before:
             h = self.after_norm(h)
         y = h[:, 0]
         if self.use_output_layer:
             y = self.output_layer(y)
         return jax.nn.log_softmax(y, axis=-1), \
-            {"k": jnp.stack(ks), "v": jnp.stack(vs), "ep": jnp.stack(eps)}
+            {"k": jnp.stack(ks), "v": jnp.stack(vs), "ep": jnp.stack(eps)}, \
+            ep_stall
 
     def forward_one_step_online(self, y_t, pos, cache, memory):
         """y_t: (B,); pos: scalar; memory: (B, T, D) streamed encoder out.

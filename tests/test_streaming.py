@@ -447,8 +447,14 @@ def test_streaming_recognizer_beam_partials_match_online_beam():
                             ctc_weight=0.4, online=True)
     want = dec(feats, feat_len).best_ids(0)
 
+    # beam_incremental=False: this pins the LEGACY from-scratch refresh,
+    # whose capped re-decode always yields a mid-stream partial — the
+    # incremental session instead PAUSES on near-uniform (untrained)
+    # posteriors until more frames arrive, by exactness design (greedy
+    # partials cover the gap; test_incremental_beam.py pins that mode)
     rec = StreamingRecognizer(model, vars_, beam_decoder=dec,
-                              beam_interval=1, beam_bucket=16)
+                              beam_interval=1, beam_bucket=16,
+                              beam_incremental=False)
     partials = []
     for lo in range(0, n, 5000):
         rec.accept_waveform(wav[lo: lo + 5000])

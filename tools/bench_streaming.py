@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--model-path", default=None)
     ap.add_argument("--choose", default="last")
     ap.add_argument("--avg", type=int, default=1)
+    ap.add_argument("--beam-runs", type=int, default=5,
+                    help="timed stream repetitions per beam-partial mode "
+                         "(variance control: medians/IQRs over all "
+                         "refreshes across runs)")
     args = ap.parse_args()
 
     from lasr_tpu.utils.env import respect_jax_platforms_env
@@ -109,24 +113,32 @@ def main():
         lats.append(time.perf_counter() - t0)
         return lats
 
-    def run_beam():
-        """Per-call latency with beam-quality partials: the online joint
-        search re-scores the accumulated encoder states every
-        beam_interval chunks (VERDICT round-1 item 6)."""
+    def run_beam(incremental: bool):
+        """Per-call latency with beam-quality partials, split into
+        REFRESH calls (the online joint search runs) and plain chunk
+        calls.  ``incremental=True`` benches the resumable search
+        (extends over new frames only — VERDICT round-3 item 3);
+        ``False`` benches the round-3 from-scratch re-decode."""
         from lasr_tpu.decode.beam import CTCAttBeamDecoder
         dec = CTCAttBeamDecoder(model, variables, beam=10, ctc_beam=15,
                                 ctc_weight=0.5, online=True)
         rec = StreamingRecognizer(model, variables, beam_decoder=dec,
-                                  beam_interval=2, beam_bucket=128)
-        lats = []
+                                  beam_interval=2, beam_bucket=128,
+                                  beam_incremental=incremental)
+        refresh, plain = [], []
         for off in range(0, len(wav), chunk_samples):
+            n0 = rec._n_harvested
             t0 = time.perf_counter()
             rec.accept_waveform(wav[off: off + chunk_samples])
-            lats.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            did_refresh = any(
+                n % rec.beam_interval == 0
+                for n in range(n0 + 1, rec._n_harvested + 1))
+            (refresh if did_refresh else plain).append(dt)
         t0 = time.perf_counter()
         rec.finalize()
         fin = time.perf_counter() - t0
-        return lats, fin
+        return refresh, plain, fin
 
     def run_multi(n_streams: int, realtime: bool):
         """N concurrent streams multiplexed on one engine: each audio-rate
@@ -153,20 +165,36 @@ def main():
             rec.finalize()
         return np.asarray(lats), np.asarray(windows)
 
+    def med_iqr(xs):
+        xs = np.asarray(xs)
+        if len(xs) == 0:
+            return None
+        return {"median_ms": round(float(np.median(xs) * 1e3), 2),
+                "iqr_ms": [round(float(np.quantile(xs, 0.25) * 1e3), 2),
+                           round(float(np.quantile(xs, 0.75) * 1e3), 2)],
+                "p95_ms": round(float(np.percentile(xs, 95) * 1e3), 2),
+                "n": int(len(xs))}
+
     run(False)  # warmup/compile
     lats = np.asarray(sum((run(False) for _ in range(3)), []))
     rt = np.asarray(sum((run(True) for _ in range(2)), []))
-    run_beam()  # warmup the beam buckets
-    beam_lats, beam_fin = run_beam()
-    beam_lats = np.asarray(beam_lats)
+    beam = {}
+    for mode, flag in (("incremental", True), ("from_scratch", False)):
+        run_beam(flag)  # warmup the mode's buckets
+        refresh, plain, fins = [], [], []
+        for _ in range(args.beam_runs):
+            r, p, f = run_beam(flag)
+            refresh += r
+            plain += p
+            fins.append(f)
+        beam[mode] = {"refresh": med_iqr(refresh), "plain": med_iqr(plain),
+                      "finalize": med_iqr(fins)}
     detail = {
         "p95_ms": round(float(np.percentile(rt, 95) * 1e3), 2),
         "burst_median_ms": round(float(np.median(lats) * 1e3), 2),
         "burst_p95_ms": round(float(np.percentile(lats, 95) * 1e3), 2),
         "streaming_rtf": round(float(lats.sum() / (3 * secs)), 5),
-        "beam_partial_median_ms": round(float(np.median(beam_lats) * 1e3), 2),
-        "beam_partial_p95_ms": round(float(np.percentile(beam_lats, 95) * 1e3), 2),
-        "beam_finalize_ms": round(beam_fin * 1e3, 2),
+        "beam_partials": beam,
         "chunk_audio_s": chunk_secs,
         "trained": bool(args.train_config),
         "device": jax.devices()[0].device_kind,
