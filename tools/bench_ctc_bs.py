@@ -97,6 +97,56 @@ def bench_w2l(args, T):
                           words=n_words, **out)))
 
 
+def bench_wfst(args):
+    """RTF of the first-party WFST Viterbi decoder on a realistic TLG
+    (VERDICT round-3 item 8): ~200-word lexicon x exact-expanded bigram
+    LM x CTC topology — thousands of states — under production-style
+    beam/max_active pruning.  Frames are 40 ms encoder frames (the /4
+    subsampled CTC rate), so audio secs = T x 0.04."""
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from build_tlg import write_tlg
+    from synthspeech import make_bigram, make_lexicon, sample_transcript
+    from lasr_tpu.decode.ngram_lm import ArpaNgramLM
+    from lasr_tpu.decode.wfst import Kaldi_Decoder
+    from tests.test_wfst_scale import peaked_posteriors, write_arpa
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    lex_words = make_lexicon(200)
+    bigram = make_bigram(len(lex_words))
+    sentences = [sample_transcript(lex_words, bigram, rng)
+                 for _ in range(800)]
+    write_arpa(f"{d}/lm.arpa", sentences, lex_words)
+    spelled = {w: [ord(c) - ord("A") + 1 for c in w] for w in lex_words}
+    n_states, n_arcs, _ = write_tlg(f"{d}/TLG.fst.txt", f"{d}/words.txt",
+                                    spelled, ArpaNgramLM(f"{d}/lm.arpa"))
+    dec = Kaldi_Decoder(beam=14.0, max_active=2000, mdl=None,
+                        fst=f"{d}/TLG.fst.txt", word=f"{d}/words.txt",
+                        acoustic_scale=1.0)
+    utts = [sample_transcript(lex_words, bigram, rng)
+            for _ in range(args.utts)]
+    lps = [peaked_posteriors(u, spelled, rng) for u in utts]
+    dec.decode_loglike(lps[0])
+    t0 = time.perf_counter()
+    correct = 0
+    frames = 0
+    for u, lp in zip(utts, lps):
+        out = dec.decode_loglike(lp)
+        frames += len(lp)
+        correct += out["text"].split() == list(u)
+    dt = time.perf_counter() - t0
+    audio = frames * 0.04
+    print(json.dumps(dict(metric="wfst_tlg_dp_rtf",
+                          tlg_states=n_states, tlg_arcs=n_arcs,
+                          beam=14.0, max_active=2000,
+                          utts=len(utts), frames=frames,
+                          exact=correct,
+                          dp_s_per_utt=round(dt / len(utts), 3),
+                          dp_rtf=round(dt / audio, 4))))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--secs", type=float, default=10.0)
@@ -106,6 +156,9 @@ def main():
     ap.add_argument("--utts", type=int, default=8)
     ap.add_argument("--w2l", action="store_true",
                     help="also bench the lexicon+word-LM beam decoder")
+    ap.add_argument("--wfst", action="store_true",
+                    help="also bench the WFST Viterbi decoder on a "
+                         "realistic TLG")
     args = ap.parse_args()
 
     # encoder frames for `secs` of 16 kHz audio: fbank 10 ms hop, /4 subsample
@@ -134,6 +187,8 @@ def main():
                           **out)))
     if args.w2l:
         bench_w2l(args, T)
+    if args.wfst:
+        bench_wfst(args)
 
 
 if __name__ == "__main__":
