@@ -207,6 +207,104 @@ def build(B=32, secs=15.6, L=64, V=5000, mode="table"):
     return t, dict(T0=T0, T=T, B=B, L=L)
 
 
+def build_online(B=32, secs=15.6, L=64, V=5000):
+    """Roofline for the ONLINE (streaming ChunkEncoder, layer-major) train
+    step at the recipe geometry (VERDICT round-3 weak 6: the 145 ms step
+    had no analytic treatment).
+
+    Geometry mirrors modules/streaming.py: raw-frame chunks of
+    cur=right=64 (hop 64), conv2d /4 subsampling of a (cur+right+6)-frame
+    window per chunk → Tc rows per chunk, attending over
+    [mem M=left/4 ‖ Tc] keys.  Structural costs vs the offline step:
+      - every chunk carries its right-context rows through q/FFN
+        (~2x the row count of the offline encoder),
+      - the subsampling conv re-runs over overlapping chunk windows
+        (~2.1x offline conv cost),
+      - attention is LOCAL: keys = M+Tc ≈ 48 instead of T ≈ 388 — the
+        score/AV area almost vanishes (no (B,H,T,T) tensor exists),
+      - plain sinusoid MHA: no rel-pos bd term, no skew copy.
+    """
+    d, H, ffn, nenc, ndec = 320, 8, 2048, 12, 6
+    dk = d // H
+    cur = right = hop = 64
+    Tw = int(secs * 16000)
+    T0 = 1 + (Tw - 400) // 160            # fbank frames
+    win = cur + right + 6                 # conv window per chunk
+    T1c = (win - 1) // 2
+    Tc = (T1c - 1) // 2                   # rows per chunk after /4
+    M = 64 // 4                           # carried memory rows
+    # chunk count (streaming.py _chunk_grid with left=0, pad right+6)
+    padded = T0 + right + 6
+    n = 0
+    i = 0
+    while i + cur + right < padded - 6 + hop:
+        n += 1
+        i += hop
+    NB = n * B
+    F1 = (80 - 1) // 2
+    F2 = (F1 - 1) // 2
+
+    t = Table()
+    t.gemm("fbank rDFT matmul", B * T0, 400, 2 * 257, bwd=False,
+           weight_params=400 * 2 * 257)
+    t.gemm("fbank mel matmul", B * T0, 257, 80, bwd=False,
+           weight_params=257 * 80)
+    t.bytes_only("specaug (masks+warp)", 2 * B * T0 * 80 * 4 * 2,
+                 "elementwise over the f32 spectrogram")
+
+    # subsampling convs run per chunk over overlapping windows
+    t.conv2d("subsample conv1 3x3/2 (per chunk)", NB, T1c, F1, 1, d, 3)
+    t.conv2d("subsample conv2 3x3/2 (per chunk)", NB, Tc, F2, d, d, 3)
+    t.gemm("subsample out linear", NB * Tc, F2 * d, d,
+           weight_params=F2 * d * d)
+
+    rows_q = NB * Tc
+    rows_k = NB * (M + Tc)
+    t.gemm("enc q/out proj", rows_q, d, d, count=2 * nenc,
+           weight_params=d * d)
+    t.gemm("enc k/v proj (mem-dup rows)", rows_k, d, d, count=2 * nenc,
+           weight_params=d * d)
+    t.gemm("enc local scores", NB * H * Tc, dk, M + Tc, count=nenc)
+    t.gemm("enc local AV", NB * H * Tc, M + Tc, dk, count=nenc)
+    t.gemm("enc FFN in", rows_q, d, ffn, count=nenc,
+           weight_params=d * ffn)
+    t.gemm("enc FFN out", rows_q, ffn, d, count=nenc,
+           weight_params=ffn * d)
+    t.bytes_only("enc LN/residual traffic",
+                 6 * nenc * rows_q * d * BF16 * 2 * 3,
+                 "6 rw/block fwd, x3 for bwd")
+    t.bytes_only("enc memory-view gather",
+                 nenc * NB * M * d * BF16 * 2 * 3,
+                 "per-layer chunk-shifted memory views (stop_gradient)")
+    t.bytes_only("enc softmax/mask traffic",
+                 nenc * NB * H * Tc * (M + Tc) * BF16 * 2 * 3,
+                 "local (Tc, M+Tc) score tensors rw fwd+bwd")
+
+    Md = B * L
+    t.gemm("dec self q/k/v/out", Md, d, d, count=4 * ndec,
+           weight_params=d * d)
+    t.gemm("dec self scores+AV", B * H * L, dk, L, count=2 * ndec)
+    t.gemm("dec cross kv proj (enc rows)", B * (n * 16), d, d,
+           count=2 * ndec, weight_params=d * d)
+    t.gemm("dec cross q/out proj", Md, d, d, count=2 * ndec,
+           weight_params=d * d)
+    t.gemm("dec cross scores", B * H * L, dk, n * 16, count=ndec)
+    t.gemm("dec cross AV", B * H * L, n * 16, dk, count=ndec)
+    t.gemm("dec FFN in", Md, d, ffn, count=ndec, weight_params=d * ffn)
+    t.gemm("dec FFN out", Md, ffn, d, count=ndec, weight_params=ffn * d)
+    t.gemm("dec output proj to V", Md, d, V, weight_params=d * V)
+
+    t.gemm("CTC head", B * n * 16, d, V, weight_params=d * V)
+    t.bytes_only("CTC lattice scan", B * n * 16 * (2 * L + 1) * 4 * 2 * 3,
+                 "alpha rw fwd+bwd")
+    t.bytes_only("CE + label smoothing", Md * V * BF16 * 2 * 3,
+                 "logits rw fwd+bwd")
+    n_params = 44.6e6
+    t.bytes_only("Adam update (f32 state)", n_params * 4 * 7,
+                 "params x 7 f32 touches")
+    return t, dict(T0=T0, n_chunks=n, Tc=Tc, M=M, rows_q=rows_q, B=B, L=L)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measured-ms", type=float, default=None,
@@ -216,10 +314,16 @@ def main():
                          "analysis of the real jitted step")
     ap.add_argument("--pos-dropout-mode", default="table",
                     choices=["table", "rotated", "rotated+pallas"])
+    ap.add_argument("--online", action="store_true",
+                    help="roofline the ONLINE (ChunkEncoder layer-major) "
+                         "train step instead of the offline conformer")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
-    t, dims = build(mode=args.pos_dropout_mode)
+    if args.online:
+        t, dims = build_online()
+    else:
+        t, dims = build(mode=args.pos_dropout_mode)
     rows = sorted(t.rows, key=lambda r: -max(r["attain_ms"], r["bytes_ms"]))
     if not args.json:
         print(f"shapes: {dims}")
@@ -248,14 +352,14 @@ def main():
                               attain_ms=t.total("attain_ms"))))
 
     if args.xla_check:
-        xla_flops = _xla_flops()
+        xla_flops = _xla_flops(online=args.online)
         if xla_flops:
             print(f"XLA HLO cost analysis: {xla_flops / 1e9:.1f} GFLOP "
                   f"(analytic {t.total('gflops'):.1f}; "
                   f"ratio {t.total('gflops') * 1e9 / xla_flops:.2f})")
 
 
-def _xla_flops():
+def _xla_flops(online=False):
     from lasr_tpu.utils.env import respect_jax_platforms_env
     respect_jax_platforms_env()
     import numpy as np
@@ -264,21 +368,34 @@ def _xla_flops():
     jax.config.update("jax_default_prng_impl", "rbg")
     from lasr_tpu.data.frontend import DeviceFrontend
     from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
+    from lasr_tpu.models.e2e_online import E2E_Transformer_CTC_Online
     from lasr_tpu.models.losses import E2E_Loss
     from lasr_tpu.parallel.mesh import make_mesh, shard_batch
     from lasr_tpu.train.optimizer import Noam
     from lasr_tpu.train.trainer import Trainer
 
     odim = 5000
-    model = E2E_Conformer_CTC(
-        idim=80, odim=odim,
-        encoder_attention_dim=320, encoder_attention_heads=8,
-        encoder_linear_units=2048, encoder_num_blocks=12,
-        decoder_attention_dim=320, decoder_attention_heads=8,
-        decoder_linear_units=2048, decoder_num_block=6,
-        encoder_pos_enc_layer_type="rel_pos",
-        encoder_selfattention_layer_type="rel_selfattn",
-        dtype=jnp.bfloat16)
+    if online:
+        model = E2E_Transformer_CTC_Online(
+            idim=80, odim=odim,
+            encoder_attention_dim=320, encoder_attention_heads=8,
+            encoder_linear_units=2048, encoder_num_blocks=12,
+            encoder_left_chunk=64, encoder_center_chunk=64,
+            encoder_right_chunk=64,
+            decoder_attention_dim=320, decoder_self_attention_heads=8,
+            decoder_src_attention_heads=8, decoder_linear_units=2048,
+            decoder_num_block=6, encoder_layer_major_rows=384,
+            dtype=jnp.bfloat16)
+    else:
+        model = E2E_Conformer_CTC(
+            idim=80, odim=odim,
+            encoder_attention_dim=320, encoder_attention_heads=8,
+            encoder_linear_units=2048, encoder_num_blocks=12,
+            decoder_attention_dim=320, decoder_attention_heads=8,
+            decoder_linear_units=2048, decoder_num_block=6,
+            encoder_pos_enc_layer_type="rel_pos",
+            encoder_selfattention_layer_type="rel_selfattn",
+            dtype=jnp.bfloat16)
     criterion = E2E_Loss(size=odim, padding_idx=-1, smoothing=0.1, rate=0.3)
     frontend = DeviceFrontend(["norm", "fbank:80", "specaug"])
     noam = Noam(model_size=320, factor=3.0, warm_step=25000)
