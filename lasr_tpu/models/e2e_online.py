@@ -45,6 +45,11 @@ class E2E_Transformer_CTC_Online(E2EBase):
     decoder_src_attention_sigmoid_noise: float = 1.0
     ctc_dropout: float = 0.1
     encoder_remat: bool = False  # see ChunkEncoder.remat
+    # layer-major: run the subsampling conv once over the full stream
+    # and slice chunk rows (ChunkEncoder.conv_once; halves the conv
+    # FLOPs that dominate the online step's roofline — off by default
+    # to keep the 1e-5 parity pins, training configs opt in)
+    encoder_conv_once: bool = False
     # layer-major full-stream encoder forward (ChunkEncoder.layer_major):
     # same math as the sequential chunk scan, MXU-shaped; False = legacy
     # scan (A/B probes)
@@ -68,6 +73,7 @@ class E2E_Transformer_CTC_Online(E2EBase):
             remat=self.encoder_remat,
             layer_major=self.encoder_layer_major,
             layer_major_rows=self.encoder_layer_major_rows,
+            conv_once=self.encoder_conv_once,
             left_len=self.encoder_left_chunk,
             cur_len=self.encoder_center_chunk,
             right_len=self.encoder_right_chunk,

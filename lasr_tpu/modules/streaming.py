@@ -227,6 +227,22 @@ class ChunkEncoder(nn.Module):
     # once).  Bounds peak HBM under layer_major at duration-bucketed
     # recipe batches (see StreamEncoderLayer.forward_all_chunks).
     layer_major_rows: int = 0
+    # layer-major only: run the subsampling convolution ONCE over the
+    # full stream and slice each chunk's rows from it, instead of
+    # re-convolving every chunk's overlapping (cur+right+6)-frame
+    # window.  Same math: window-local row j of chunk c and stream row
+    # c*hop_sub + j read the same raw taps [c*hop + 4j, c*hop + 4j + 6]
+    # with the same weights and positional index (pinned in
+    # test_streaming.py) — but the per-chunk form pays the conv twice
+    # for every overlapped frame, the single largest analytic cost of
+    # the online step (tools/roofline.py --online: 2.69 of 6.86
+    # TFLOP/step).  Two caveats keep this off by default: the conv's
+    # f32 accumulation order changes (reassociation-level diffs, so the
+    # 1e-5 serving/torch-parity pins hold only with the per-chunk
+    # form), and in training overlapping rows share one positional-
+    # dropout draw where the per-chunk form drew independently.
+    # Training configs opt in for the throughput.
+    conv_once: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -293,7 +309,7 @@ class ChunkEncoder(nn.Module):
         return tuple(new_mems), h[:, : self.cur_sub]
 
     def _forward_layer_major(self, chunks, offsets, valid_mem, key_valid,
-                             deterministic: bool):
+                             deterministic: bool, x_pad=None):
         """Layer-major full-stream forward: embed every chunk in one
         batch, then run each layer over ALL chunks at once (see
         StreamEncoderLayer.forward_all_chunks for why the memories are
@@ -304,11 +320,28 @@ class ChunkEncoder(nn.Module):
         same stacked output the chunk scan yields.
         """
         n, B, chunk_raw, _ = chunks.shape
-        flat = chunks.reshape(n * B, chunk_raw, chunks.shape[-1])
-        dummy_len = jnp.full((n * B,), chunk_raw, jnp.int32)
-        off_rows = jnp.repeat(offsets.astype(jnp.int32), B)
-        h, _ = self.embed(flat, dummy_len, offset=off_rows,
-                          deterministic=deterministic)
+        Tc_sub = ((chunk_raw - 1) // 2 - 1) // 2
+        if self.conv_once and x_pad is not None:
+            # one full-stream subsampling pass, then slice each chunk's
+            # rows: stream row c*hop_sub + j == chunk c's window row j
+            # (identical conv taps and positional index — see conv_once)
+            hop = self.hop_sub
+            need = hop * (n - 1) + Tc_sub
+            h_full, _ = self.embed(
+                x_pad, jnp.full((B,), x_pad.shape[1], jnp.int32),
+                deterministic=deterministic)
+            if h_full.shape[1] < need:
+                h_full = jnp.pad(
+                    h_full, ((0, 0), (0, need - h_full.shape[1]), (0, 0)))
+            idx = (jnp.arange(n) * hop)[:, None] + jnp.arange(Tc_sub)
+            h = jnp.moveaxis(h_full[:, idx], 1, 0) \
+                .reshape(n * B, Tc_sub, h_full.shape[-1])
+        else:
+            flat = chunks.reshape(n * B, chunk_raw, chunks.shape[-1])
+            dummy_len = jnp.full((n * B,), chunk_raw, jnp.int32)
+            off_rows = jnp.repeat(offsets.astype(jnp.int32), B)
+            h, _ = self.embed(flat, dummy_len, offset=off_rows,
+                              deterministic=deterministic)
         Tc = h.shape[1]
         M = self.mem_len_sub
         mem_valid = jnp.arange(M)[None, :] >= (M - valid_mem[:, None])
@@ -405,7 +438,8 @@ class ChunkEncoder(nn.Module):
 
         if self.layer_major:
             outs = self._forward_layer_major(
-                chunks, offsets, valid_mem, key_valid, deterministic)
+                chunks, offsets, valid_mem, key_valid, deterministic,
+                x_pad=x_pad)
         else:
             mems0 = tuple(
                 jnp.zeros((B, self.mem_len_sub, self.attention_dim),

@@ -471,16 +471,23 @@ def test_chunk_encoder_layer_major_equals_scan():
     equal the sequential chunk scan — fwd and grads — including when the
     memory spans multiple previous chunks (left_len > hop_len) and rows
     are ragged.  The memories depend only on each layer's input, so the
-    reorder is exact math, not an approximation."""
+    reorder is exact math, not an approximation.
+
+    conv_once=True additionally convolves the full stream once and
+    slices chunk rows (same taps, same positional index) — also exact
+    math, but the conv's f32 accumulation order changes, so tolerances
+    widen to the observed reassociation noise (absolute diffs stay
+    ~1e-5-grade at the source; LayerNorm/softmax amplify them through
+    the blocks)."""
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((2, 230, 80)), jnp.float32)
     x_len = jnp.asarray([230, 141], jnp.int32)
-    for left in (16, 32):  # M == hop and M == 2*hop
+    for left, conv_once in ((16, False), (32, False), (32, True)):
         kw = dict(idim=80, attention_dim=16, attention_heads=2,
                   linear_units=32, num_blocks=2, dropout_rate=0.0,
                   left_len=left, cur_len=16, right_len=16, hop_len=16)
-        scan_enc = ChunkEncoder(layer_major=False, **kw)
-        lm_enc = ChunkEncoder(layer_major=True, **kw)
+        scan_enc = ChunkEncoder(layer_major=False, conv_once=False, **kw)
+        lm_enc = ChunkEncoder(layer_major=True, conv_once=conv_once, **kw)
         vars_ = scan_enc.init(jax.random.PRNGKey(0), x, x_len)
 
         outs, lens, grads = [], [], []
@@ -494,7 +501,10 @@ def test_chunk_encoder_layer_major_equals_scan():
                 return jnp.sum(h * h)
             grads.append(jax.grad(loss)(vars_["params"]))
         np.testing.assert_array_equal(lens[0], lens[1])
-        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+        out_atol = 5e-3 if conv_once else 1e-5
+        g_atol = 2e-4 if conv_once else 3e-5
+        g_rtol = 2e-3 if conv_once else 2e-5
+        np.testing.assert_allclose(outs[0], outs[1], atol=out_atol)
         for path, (a, b) in zip(
                 jax.tree_util.tree_flatten_with_path(grads[0])[0],
                 zip(jax.tree_util.tree_leaves(grads[0]),
@@ -503,8 +513,9 @@ def test_chunk_encoder_layer_major_equals_scan():
             # contraction — a different f32 accumulation order than the
             # scan's per-chunk GEMMs
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=2e-5, atol=3e-5,
-                err_msg=f"left={left} " + jax.tree_util.keystr(path[0]))
+                np.asarray(a), np.asarray(b), rtol=g_rtol, atol=g_atol,
+                err_msg=f"left={left} conv_once={conv_once} "
+                        + jax.tree_util.keystr(path[0]))
 
 
 def test_chunk_encoder_layer_major_ref_tail_and_dropout():

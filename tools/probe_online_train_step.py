@@ -31,7 +31,10 @@ def main():
     ap.add_argument("--arms", nargs="+",
                     default=["lm", "lm_remat", "remat", "noremat"],
                     help="lm/lm_remat = layer-major (without/with remat); "
-                         "remat/noremat = legacy sequential chunk scan")
+                         "remat/noremat = legacy sequential chunk scan; "
+                         "lm_conv1/lm_remat_conv1 = layer-major with "
+                         "conv_once (full-stream subsampling, no "
+                         "per-chunk overlap recompute)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--secs", type=float, default=15.6)
@@ -76,8 +79,9 @@ def main():
             decoder_attention_dim=320, decoder_self_attention_heads=8,
             decoder_src_attention_heads=8, decoder_linear_units=2048,
             decoder_num_block=6,
-            encoder_remat=arm.endswith("remat") and arm != "noremat",
+            encoder_remat=("remat" in arm) and arm != "noremat",
             encoder_layer_major=arm.startswith("lm"),
+            encoder_conv_once=arm.endswith("conv1"),
             dtype=jnp.bfloat16)
         criterion = E2E_Loss(size=odim, padding_idx=-1, smoothing=0.1,
                              rate=0.3)
