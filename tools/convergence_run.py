@@ -36,7 +36,20 @@ sys.path.insert(0, REPO)
 from synthspeech import gen_corpus, make_bigram, make_lexicon  # noqa: E402
 
 
-def run_cli(script, cli_args, env):
+def run_cli(script, cli_args, env, log_path=None):
+    """Run a CLI; stream combined output to ``log_path`` (live
+    observability — a captured pipe hides a hung train run) and return
+    the text."""
+    if log_path:
+        with open(log_path, "ab") as logf:
+            r = subprocess.run([sys.executable, os.path.join(REPO, script)]
+                               + cli_args, env=env, stdout=logf,
+                               stderr=subprocess.STDOUT)
+        out = open(log_path, errors="replace").read()
+        if r.returncode != 0:
+            sys.stderr.write(out[-2000:])
+            sys.exit(r.returncode)
+        return subprocess.CompletedProcess(r.args, r.returncode, out, "")
     r = subprocess.run([sys.executable, os.path.join(REPO, script)]
                        + cli_args, env=env, capture_output=True, text=True)
     if r.returncode != 0:
@@ -208,7 +221,8 @@ def main():
             "-ema", "1",
             "-valid_interval_epochs", str(args.valid_interval),
             "-checkpoint_interval_epochs", str(args.ckpt_interval),
-            "-log_interval", "50"], env)
+            "-log_interval", "50"], env,
+            log_path=os.path.join(root, "train.log"))
         train_s = time.time() - t0
         steps = 0
         with open(os.path.join(exp, "metrics.jsonl")) as f:
