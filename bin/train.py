@@ -70,8 +70,10 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
-    from lasr_tpu.utils.env import respect_jax_platforms_env
+    from lasr_tpu.utils.env import (enable_compilation_cache,
+                                    respect_jax_platforms_env)
     respect_jax_platforms_env()
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp

@@ -17,3 +17,27 @@ def respect_jax_platforms_env() -> None:
         import jax
         if jax.config.jax_platforms != want:
             jax.config.update("jax_platforms", want)
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (best-effort).
+
+    Segment-structured drivers (tools/convergence_run.py) relaunch
+    ``bin/train.py`` / ``bin/decode.py`` per segment; without a persistent
+    cache each process pays the full XLA compile again (~100-350 s for the
+    recipe train step on the tunneled chip).  The cache makes segment 2+
+    start in seconds.  Off unless LASR_COMPILATION_CACHE is set (the CLIs
+    export no default: cache serialization on the experimental axon
+    platform is best-effort, so opt-in per run).
+    """
+    path = path or os.environ.get("LASR_COMPILATION_CACHE")
+    if not path:
+        return
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is never load-bearing
+        pass

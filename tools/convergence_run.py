@@ -162,7 +162,10 @@ def main():
                 decoder_attention_dim=320, decoder_self_attention_heads=8,
                 decoder_src_attention_heads=8, decoder_linear_units=2048,
                 decoder_num_block=6,
-                encoder_remat=True, encoder_layer_major_rows=384)}
+                encoder_remat=True, encoder_layer_major_rows=384,
+                # +10% step, 2.6x faster compile; exact up to f32 conv
+                # reassociation (bench_results_r04/conv_once_ab.log)
+                encoder_conv_once=True)}
     if args.smoke:
         small = dict(
             encoder_attention_dim=32, encoder_attention_heads=2,
@@ -208,6 +211,9 @@ def main():
 
     env = dict(os.environ, PYTHONPATH=REPO + os.pathsep +
                os.environ.get("PYTHONPATH", ""))
+    # persistent XLA cache: segment 2+ train/decode relaunches skip the
+    # full recompile (~minutes per segment on the tunneled chip)
+    env.setdefault("LASR_COMPILATION_CACHE", os.path.join(root, "xla_cache"))
     exp = os.path.join(root, "exp")
     beam_method = "ctc_att_online" if args.online else "ctc_att"
     curve_path = os.path.join(root, "curve.jsonl")
