@@ -39,5 +39,10 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - cache is never load-bearing
-        pass
+    except Exception as e:  # pragma: no cover - cache is never load-bearing
+        # A dead cache silently re-pays multi-minute compiles per relaunch;
+        # make the cause visible in the train/decode logs.
+        import logging
+        logging.getLogger("lasr_tpu").warning(
+            "compilation cache disabled (%s: %s) — run continues uncached",
+            path, e)

@@ -26,9 +26,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_BF16_PEAK_FLOPS = 197e12
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=2,
@@ -50,7 +47,8 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
 
-    from bench import _flops_per_step  # repo-root harness, same counting
+    # repo-root harness: same FLOP counting + one shared peak constant
+    from bench import _flops_per_step, V5E_BF16_PEAK_FLOPS
     from lasr_tpu.data.frontend import DeviceFrontend
     from lasr_tpu.models.e2e_ctc_att import E2E_Conformer_CTC
     from lasr_tpu.models.losses import E2E_Loss
@@ -121,7 +119,12 @@ def main():
     }
     if flops:
         out["tflops_per_s"] = round(flops / step_s / 1e12, 1)
-        out["mfu_pct"] = round(100 * flops / step_s / V5E_BF16_PEAK_FLOPS, 1)
+        # XLA-counted EXECUTED flops: with remat_attend on, the numerator
+        # includes rematerialization recompute, so this is hardware FLOP
+        # utilization, not model-FLOPs MFU (the relative claim vs the 46M
+        # geometry stands — bench.py counts the same way).
+        out["hw_flop_util_pct"] = round(
+            100 * flops / step_s / V5E_BF16_PEAK_FLOPS, 1)
     print(json.dumps(out), flush=True)
 
 

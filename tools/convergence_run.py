@@ -164,7 +164,9 @@ def main():
                 decoder_num_block=6,
                 encoder_remat=True, encoder_layer_major_rows=384,
                 # +10% step, 2.6x faster compile; exact up to f32 conv
-                # reassociation (bench_results_r04/conv_once_ab.log)
+                # reassociation (bench_results_r04/conv_once_ab.log) plus
+                # the layer-major shared positional-dropout draw across
+                # overlapping rows (see ChunkEncoder.conv_once)
                 encoder_conv_once=True)}
     if args.smoke:
         small = dict(
