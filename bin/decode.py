@@ -139,7 +139,7 @@ def main(argv=None):
             beam_size_token=asr_decode_config.get("beam_size_token"))
     elif method == "wfst":
         # decoding-graph search (reference Kaldi_Decoder surface,
-        # kaldi_decoder.py:15-33) over a text-format HCLG/TLG
+        # kaldi_decoder.py:15-33) over a binary OR text HCLG/TLG
         from lasr_tpu.decode.wfst import Kaldi_Decoder
         decoder = None
         wfst_decoder = Kaldi_Decoder(

@@ -126,21 +126,29 @@ def compose_ctc(arcs, finals, start, n_tokens: int):
 
 def write_tlg(path_fst: str, path_words: str, lexicon, lm: ArpaNgramLM,
               lm_weight: float = 2.0, word_score: float = -1.0,
-              n_tokens: int = 26):
-    """Build + write the TLG; returns (n_states, n_arcs, words)."""
+              n_tokens: int = 26, binary: bool = False):
+    """Build + write the TLG (OpenFst text, or binary vector-fst with
+    ``binary=True``); returns (n_states, n_arcs, words)."""
     arcs, finals, start, words = build_lg(lexicon, lm, lm_weight,
                                           word_score)
     t_arcs, t_finals, t_start, n_states = compose_ctc(
         arcs, finals, start, n_tokens)
-    lines = []
-    # first arc line must carry the start state (StdFst convention)
-    ordered = sorted(t_arcs, key=lambda a: a[0] != t_start)
-    for src, dst, il, ol, w in ordered:
-        lines.append(f"{src} {dst} {il} {ol} {w:.8f}")
-    for st, w in t_finals.items():
-        lines.append(f"{st} {w:.8f}")
-    with open(path_fst, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if binary:
+        from lasr_tpu.decode.wfst import StdFst
+        by_src: Dict[int, list] = {}
+        for src, dst, il, ol, w in t_arcs:
+            by_src.setdefault(src, []).append((il, ol, w, dst))
+        StdFst.from_parts(t_start, by_src, t_finals).write_binary(path_fst)
+    else:
+        lines = []
+        # first arc line must carry the start state (StdFst convention)
+        ordered = sorted(t_arcs, key=lambda a: a[0] != t_start)
+        for src, dst, il, ol, w in ordered:
+            lines.append(f"{src} {dst} {il} {ol} {w:.8f}")
+        for st, w in t_finals.items():
+            lines.append(f"{st} {w:.8f}")
+        with open(path_fst, "w") as f:
+            f.write("\n".join(lines) + "\n")
     with open(path_words, "w") as f:
         f.write("<eps> 0\n")
         for i, w in enumerate(words):
