@@ -7,11 +7,13 @@ This is the readable reference implementation and the production path for
 ``read_audio('*.mp3')``.
 
 Coverage: MPEG-1 (32/44.1/48 kHz) and MPEG-2/2.5 LSF (8-24 kHz) Layer
-III, mono/stereo/dual/joint (MS stereo; MPEG-1 intensity stereo
-implemented per spec, LSF intensity unsupported), long/short/mixed
-blocks, all Huffman tables, bit reservoir, block switching, alias
-reduction, IMDCT + polyphase synthesis.  Layers I/II are out of scope
-(".mp3" corpora are Layer III).
+III, mono/stereo/dual/joint (MS stereo; MPEG-1 AND LSF intensity stereo
+for long blocks, validated sample-by-sample against libmpg123 on
+hand-crafted frames — no in-image encoder emits intensity; short-block
+intensity falls back to MS/LR), long/short/mixed blocks, all Huffman
+tables, bit reservoir, block switching, alias reduction, IMDCT +
+polyphase synthesis.  Layers I/II are out of scope (".mp3" corpora are
+Layer III).
 
 Validated against two INDEPENDENT system codecs (tests/test_mp3.py):
 fixtures encoded with libmp3lame, output compared sample-by-sample
@@ -170,6 +172,15 @@ _LSF_NSFB = {
     "mixed": [[6, 9, 9, 9], [6, 9, 12, 6], [15, 18, 0, 0]],
 }
 
+# ... and the three extra partitions used by the INTENSITY channel
+# (ISO 13818-3 2.4.3.2 intensity_stereo case; the transmitted values are
+# intensity positions, selected by scalefac_compress >> 1)
+_LSF_NSFB_INT = {
+    "long": [[7, 7, 7, 0], [6, 6, 6, 3], [8, 8, 5, 0]],
+    "short": [[12, 12, 12, 0], [12, 9, 9, 6], [15, 12, 9, 0]],
+    "mixed": [[6, 15, 12, 0], [6, 12, 9, 6], [6, 18, 9, 0]],
+}
+
 
 def _read_scalefactors_v1(bits, g: _Granule, scfsi_ch, gr: int,
                           prev: Optional[_Granule]):
@@ -202,14 +213,29 @@ def _read_scalefactors_v1(bits, g: _Granule, scfsi_ch, gr: int,
 
 
 def _read_scalefactors_lsf(bits, g: _Granule, is_intensity_ch: bool):
-    if is_intensity_ch:
-        raise Mp3Error("LSF intensity stereo not supported")
     sfc = g.scalefac_compress
     if g.wsf and g.block_type == 2:
         kind = "mixed" if g.mixed else "short"
     else:
         kind = "long"
-    if sfc < 400:
+    if is_intensity_ch:
+        # intensity channel: the value groups carry intensity POSITIONS,
+        # partitioned by scalefac_compress >> 1 (bit 0 is
+        # intensity_scale, consumed by _stereo_intensity)
+        sfc >>= 1
+        if sfc < 180:
+            slen = [sfc // 36, (sfc % 36) // 6, sfc % 6, 0]
+            nsfb = _LSF_NSFB_INT[kind][0]
+        elif sfc < 244:
+            c = sfc - 180
+            slen = [(c >> 4) & 3, (c >> 2) & 3, c & 3, 0]
+            nsfb = _LSF_NSFB_INT[kind][1]
+        else:
+            c = sfc - 244
+            slen = [c // 3, c % 3, 0, 0]
+            nsfb = _LSF_NSFB_INT[kind][2]
+        g.preflag = 0
+    elif sfc < 400:
         slen = [(sfc >> 4) // 5, (sfc >> 4) % 5, (sfc >> 2) & 3, sfc & 3]
         nsfb = _LSF_NSFB[kind][0]
         g.preflag = 0
@@ -417,37 +443,59 @@ def _ms_stereo(xr_l, xr_r):
     return (m + sd) * s, (m - sd) * s
 
 
-def _stereo_v1_intensity(xr_l, xr_r, g_r: _Granule, rate: int, ms: bool):
-    """MPEG-1 joint stereo with intensity on (ISO 2.4.3.4.9.3): bands
-    below the right channel's zero boundary are MS (if mode_ext&2) or
-    plain L/R; bands above carry an intensity position in the right
-    channel's scalefactors and reconstruct from the LEFT (mid) spectrum.
-    is_pos == 7 is illegal-intensity → those bands fall back to MS/LR.
-    (LAME never emits intensity; this path follows the spec and is
-    exercised only structurally.)"""
+def _intensity_factors(is_pos: int, lsf: bool, intensity_scale: int):
+    """(left, right) reconstruction factors for one intensity band.
+
+    MPEG-1 (ISO 11172-3 2.4.3.4.9.3): ratio = tan(is_pos*pi/12),
+    L = v*ratio/(1+ratio), R = v/(1+ratio).  LSF (ISO 13818-3
+    2.4.3.2): io = 2^(-(intensity_scale+1)/4); odd positions attenuate
+    the LEFT by io^((p+1)/2), even positions the RIGHT by io^(p/2)
+    (position 0 copies v to both).  Matches libmpg123's tan1/2_1 and
+    pow1/2_1 table construction — the behavioral gate in
+    tests/test_mp3.py crafts such frames and compares sample-by-sample.
+    """
+    if not lsf:
+        ratio = math.tan(is_pos * math.pi / 12.0)
+        return ratio / (1.0 + ratio), 1.0 / (1.0 + ratio)
+    base = 2.0 ** (-0.25 * (intensity_scale + 1))
+    if is_pos == 0:
+        return 1.0, 1.0
+    if is_pos & 1:
+        return base ** ((is_pos + 1) // 2), 1.0
+    return 1.0, base ** (is_pos // 2)
+
+
+def _stereo_intensity(xr_l, xr_r, g_r: _Granule, rate: int, ms: bool,
+                      lsf: bool):
+    """Joint stereo with intensity on: bands below the right channel's
+    zero boundary are MS (if mode_ext&2) or plain L/R; bands above carry
+    an intensity position in the right channel's scalefactors and
+    reconstruct from the LEFT (mid) spectrum.  is_pos == 7 is
+    illegal-intensity → those bands fall back to MS/LR (libmpg123
+    semantics for both MPEG-1 and LSF; the spec's all-ones rule
+    coincides at the common slen=3).  The sfb21 region reuses band 20's
+    position (no position of its own is transmitted)."""
     sfb_l = SFB_LONG[rate]
     nz = np.nonzero(xr_r)[0]
     bound = (int(nz[-1]) + 1) if len(nz) else 0
+    iscale = g_r.scalefac_compress & 1
     if g_r.wsf and g_r.block_type == 2:
         # short-block intensity unsupported: treat whole granule as MS/LR
         return _ms_stereo(xr_l, xr_r) if ms else (xr_l, xr_r)
-    for sfb in range(22):
-        lo, hi = sfb_l[sfb], sfb_l[sfb + 1]
-        if lo < bound:
+
+    def band(lo, hi, is_pos):
+        if lo < bound or is_pos == 7:
             if ms:
                 xr_l[lo:hi], xr_r[lo:hi] = _ms_stereo(xr_l[lo:hi],
                                                       xr_r[lo:hi])
-            continue
-        is_pos = g_r.scalefac_l[sfb]
-        if is_pos == 7:
-            if ms:
-                xr_l[lo:hi], xr_r[lo:hi] = _ms_stereo(xr_l[lo:hi],
-                                                      xr_r[lo:hi])
-            continue
-        ratio = math.tan(is_pos * math.pi / 12.0)
+            return
+        t1, t2 = _intensity_factors(is_pos, lsf, iscale)
         left = xr_l[lo:hi].copy()
-        xr_l[lo:hi] = left * (ratio / (1.0 + ratio))
-        xr_r[lo:hi] = left * (1.0 / (1.0 + ratio))
+        xr_l[lo:hi] = left * t1
+        xr_r[lo:hi] = left * t2
+    for sfb in range(21):
+        band(sfb_l[sfb], sfb_l[sfb + 1], g_r.scalefac_l[sfb])
+    band(sfb_l[21], sfb_l[22], g_r.scalefac_l[20])
     return xr_l, xr_r
 
 
@@ -694,8 +742,9 @@ def _decode_frame(h: _FrameHeader, side: bytes, main_data: bytes,
             xrs.append(xr)
         if h.nch == 2:
             if intensity:
-                xrs = list(_stereo_v1_intensity(
-                    xrs[0], xrs[1], granules[gr][1], h.rate, ms))
+                xrs = list(_stereo_intensity(
+                    xrs[0], xrs[1], granules[gr][1], h.rate, ms,
+                    lsf=not h.mpeg1))
             elif ms:
                 l2, r2 = _ms_stereo(xrs[0], xrs[1])
                 xrs = [l2, r2]

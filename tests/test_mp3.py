@@ -77,6 +77,38 @@ def test_mp3_lsf_stereo_and_short_blocks():
     _assert_matches_mpg123(data)
 
 
+@pytest.mark.parametrize("mpeg1,mode_ext,iscale", [
+    (True, 1, 0),    # MPEG-1, intensity only
+    (True, 3, 0),    # MPEG-1, intensity + MS (illegal-pos bands go MS)
+    (False, 1, 0),   # LSF, intensity only, intensity_scale 0
+    (False, 1, 1),   # LSF, intensity_scale 1
+    (False, 3, 1),   # LSF, intensity + MS
+])
+def test_mp3_intensity_stereo_matches_mpg123(mpeg1, mode_ext, iscale):
+    """No in-image encoder emits intensity stereo, so these streams are
+    hand-crafted (tests/mp3_craft.py — an independent spelling of the
+    bitstream syntax) and both decoders must agree sample-by-sample.
+    Positions include 7 (the illegal-intensity marker → MS/LR fallback)
+    and cover the sfb21-uses-band-20 tail rule."""
+    from tests.mp3_craft import craft_intensity_stream
+    data = craft_intensity_stream(mpeg1, n_frames=24,
+                                  seed=11 + mode_ext + iscale,
+                                  mode_ext=mode_ext,
+                                  intensity_scale=iscale)
+    gold, grate = mpg123_decode(data)
+    out, rate = read_mp3(data)
+    assert rate == grate == (44100 if mpeg1 else 22050)
+    assert out.shape[1] == gold.shape[1] == 2
+    n = min(len(out), len(gold))
+    # both must have decoded (nearly) the whole stream
+    spf = 1152 if mpeg1 else 576
+    assert n >= 22 * spf
+    assert np.abs(gold[:n]).max() > 1e-4     # non-degenerate signal
+    # rtol covers mpg123's float32 pow-table rounding on the LSF scale
+    # factors (observed ≤ 3.8e-6 relative)
+    np.testing.assert_allclose(out[:n], gold[:n], atol=1e-5, rtol=1e-5)
+
+
 def test_mp3_reader_dispatch_and_probing(tmp_path):
     sr = 16000
     pcm = _tone(sr, dur=0.8)

@@ -36,26 +36,37 @@ sys.path.insert(0, REPO)
 from synthspeech import gen_corpus, make_bigram, make_lexicon  # noqa: E402
 
 
-def run_cli(script, cli_args, env, log_path=None):
+def run_cli(script, cli_args, env, log_path=None, retries=2):
     """Run a CLI; stream combined output to ``log_path`` (live
     observability — a captured pipe hides a hung train run) and return
-    the text."""
-    if log_path:
-        with open(log_path, "ab") as logf:
-            r = subprocess.run([sys.executable, os.path.join(REPO, script)]
-                               + cli_args, env=env, stdout=logf,
-                               stderr=subprocess.STDOUT)
-        out = open(log_path, errors="replace").read()
-        if r.returncode != 0:
-            sys.stderr.write(out[-2000:])
-            sys.exit(r.returncode)
-        return subprocess.CompletedProcess(r.args, r.returncode, out, "")
-    r = subprocess.run([sys.executable, os.path.join(REPO, script)]
-                       + cli_args, env=env, capture_output=True, text=True)
-    if r.returncode != 0:
-        sys.stderr.write(r.stdout[-2000:] + r.stderr[-2000:])
-        sys.exit(r.returncode)
-    return r
+    the text.  The tunneled chip sporadically throws RESOURCE_EXHAUSTED /
+    backend errors mid-run (observed round 5, epoch 108 of a healthy
+    segment); train.py auto-resumes from its last checkpoint, so
+    transient failures are retried after a cool-down instead of killing
+    the whole hours-scale driver."""
+    for attempt in range(retries + 1):
+        if log_path:
+            with open(log_path, "ab") as logf:
+                r = subprocess.run([sys.executable,
+                                    os.path.join(REPO, script)]
+                                   + cli_args, env=env, stdout=logf,
+                                   stderr=subprocess.STDOUT)
+            out = open(log_path, errors="replace").read()
+        else:
+            rr = subprocess.run([sys.executable, os.path.join(REPO, script)]
+                                + cli_args, env=env, capture_output=True,
+                                text=True)
+            r, out = rr, rr.stdout + rr.stderr
+        if r.returncode == 0:
+            return subprocess.CompletedProcess(
+                r.args, 0, out if log_path else rr.stdout, "")
+        sys.stderr.write(out[-2000:])
+        if attempt < retries:
+            sys.stderr.write(f"\n[convergence_run] {script} failed "
+                             f"(rc={r.returncode}), retry "
+                             f"{attempt + 1}/{retries} in 60 s\n")
+            time.sleep(60)
+    sys.exit(r.returncode)
 
 
 def decode_wer(method, exp, dec_root, env, avg=5):
