@@ -12,8 +12,11 @@ tokenizer (train_lighting.py:162-168).
 import argparse
 import logging
 import sys
+import time
 
 import yaml
+
+_PROC_T0 = time.time()
 
 
 def main(argv=None):
@@ -59,6 +62,11 @@ def main(argv=None):
     parser.add_argument("-checkpoint_interval_epochs", default=1, type=int,
                         help="save the per-epoch checkpoint every N epochs "
                              "(always on the final epoch)")
+    parser.add_argument("-max_wall_secs", default=0, type=float,
+                        help="checkpoint and exit cleanly once the process "
+                             "is this old (0 = off) — for hosts whose "
+                             "accelerator attachment bounds client "
+                             "lifetime; pair with -auto_resume")
     parser.add_argument("-num_workers", default=8, type=int)
     parser.add_argument("-seed", default=0, type=int)
     parser.add_argument("-log_interval", default=50, type=int)
@@ -176,7 +184,9 @@ def main(argv=None):
                         args.checkpoint_interval_steps,
                         valid_interval_epochs=args.valid_interval_epochs,
                         checkpoint_interval_epochs=
-                        args.checkpoint_interval_epochs)
+                        args.checkpoint_interval_epochs,
+                        max_wall_secs=args.max_wall_secs,
+                        wall_t0=_PROC_T0)
     logging.info("done at step %d", int(state.step))
     return 0
 

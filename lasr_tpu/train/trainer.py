@@ -444,7 +444,9 @@ class Trainer:
             checkpoint_interval_steps: int = 0,
             auto_resume: bool = False,
             valid_interval_epochs: int = 1,
-            checkpoint_interval_epochs: int = 1) -> TrainState:
+            checkpoint_interval_epochs: int = 1,
+            max_wall_secs: float = 0.0,
+            wall_t0: Optional[float] = None) -> TrainState:
         """Run the training loop.
 
         ``checkpoint_interval_steps`` > 0 additionally checkpoints mid-epoch
@@ -494,7 +496,21 @@ class Trainer:
         # host-side step counter: the interval check must not force a
         # device sync on state.step every iteration (round-1 VERDICT item)
         host_step = int(state.step)
+        # wall deadline: on hosts whose accelerator attachment bounds
+        # process lifetime (the round-5 tunneled chip wedges clients after
+        # ~15 min), exit CLEANLY with a checkpoint instead of being killed
+        # mid-epoch — segment drivers relaunch and auto_resume continues.
+        wall_t0 = time.time() if wall_t0 is None else wall_t0
         for epoch in range(start_epoch, num_epochs):
+            if max_wall_secs and time.time() - wall_t0 > max_wall_secs \
+                    and epoch > start_epoch:
+                logging.info("wall deadline (%.0fs) reached at epoch %d; "
+                             "checkpointing and exiting cleanly",
+                             max_wall_secs, epoch)
+                if save_checkpoints and self.exp_dir:
+                    self.save_checkpoint(state, step=host_step)
+                    self._write_loop_state(host_step, epoch, 0)
+                break
             skip = start_skip if epoch == start_epoch else 0
             batch_idx = skip
             pending = []

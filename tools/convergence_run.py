@@ -36,46 +36,63 @@ sys.path.insert(0, REPO)
 from synthspeech import gen_corpus, make_bigram, make_lexicon  # noqa: E402
 
 
-def run_cli(script, cli_args, env, log_path=None, retries=2):
+def run_cli(script, cli_args, env, log_path=None, retries=2,
+            kill_after=None, check=True):
     """Run a CLI; stream combined output to ``log_path`` (live
     observability — a captured pipe hides a hung train run) and return
     the text.  The tunneled chip sporadically throws RESOURCE_EXHAUSTED /
-    backend errors mid-run (observed round 5, epoch 108 of a healthy
-    segment); train.py auto-resumes from its last checkpoint, so
-    transient failures are retried after a cool-down instead of killing
-    the whole hours-scale driver."""
+    backend errors mid-run AND wedges clients outright (round-5
+    environment: processes hang with no error after ~15 min attached);
+    train.py auto-resumes from its last checkpoint, so transient
+    failures/hangs are killed after ``kill_after`` seconds and retried
+    after a cool-down instead of killing the whole hours-scale driver."""
+    r = None
     for attempt in range(retries + 1):
-        if log_path:
-            with open(log_path, "ab") as logf:
-                r = subprocess.run([sys.executable,
-                                    os.path.join(REPO, script)]
-                                   + cli_args, env=env, stdout=logf,
-                                   stderr=subprocess.STDOUT)
-            out = open(log_path, errors="replace").read()
-        else:
-            rr = subprocess.run([sys.executable, os.path.join(REPO, script)]
-                                + cli_args, env=env, capture_output=True,
-                                text=True)
-            r, out = rr, rr.stdout + rr.stderr
-        if r.returncode == 0:
-            return subprocess.CompletedProcess(
-                r.args, 0, out if log_path else rr.stdout, "")
-        sys.stderr.write(out[-2000:])
+        try:
+            if log_path:
+                with open(log_path, "ab") as logf:
+                    r = subprocess.run(
+                        [sys.executable, os.path.join(REPO, script)]
+                        + cli_args, env=env, stdout=logf,
+                        stderr=subprocess.STDOUT, timeout=kill_after)
+                out = open(log_path, errors="replace").read()
+            else:
+                rr = subprocess.run(
+                    [sys.executable, os.path.join(REPO, script)]
+                    + cli_args, env=env, capture_output=True, text=True,
+                    timeout=kill_after)
+                r, out = rr, rr.stdout + rr.stderr
+            if r.returncode == 0:
+                return subprocess.CompletedProcess(
+                    r.args, 0, out if log_path else rr.stdout, "")
+            sys.stderr.write(out[-2000:])
+            msg = f"failed (rc={r.returncode})"
+        except subprocess.TimeoutExpired:
+            msg = f"wedged (no exit after {kill_after}s, killed)"
         if attempt < retries:
-            sys.stderr.write(f"\n[convergence_run] {script} failed "
-                             f"(rc={r.returncode}), retry "
+            sys.stderr.write(f"\n[convergence_run] {script} {msg}, retry "
                              f"{attempt + 1}/{retries} in 60 s\n")
             time.sleep(60)
-    sys.exit(r.returncode)
+    if not check:
+        return None
+    sys.exit(r.returncode if r is not None else 99)
 
 
-def decode_wer(method, exp, dec_root, env, avg=5):
-    """Run bin/decode.py with the given method; return (wer, steady_rtf)."""
+def decode_wer(method, exp, dec_root, env, avg=5, subset=None,
+               kill_after=None):
+    """Run bin/decode.py with the given method; return (wer, steady_rtf).
+
+    ``subset``: (wav_scp, text) path pair overriding the test set (the
+    mid-curve dev-subset decodes — a full beam decode may not fit the
+    round-5 chip attachment's process-lifetime window)."""
     import yaml
     dec_path = os.path.join(dec_root, f"decode_{method}.yaml")
     with open(os.path.join(dec_root, "decode_base.yaml")) as f:
         cfg = yaml.safe_load(f)
     cfg["decode_config"]["decode_method"] = method
+    if subset:
+        cfg["test_data_config"]["kwargs"]["wav_list"] = [subset[0]]
+        cfg["test_data_config"]["kwargs"]["text_list"] = [subset[1]]
     with open(dec_path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
     r = run_cli("bin/decode.py", [
@@ -83,8 +100,11 @@ def decode_wer(method, exp, dec_root, env, avg=5):
         "-decode_config", dec_path,
         "-model_path", os.path.join(exp, "checkpoints"),
         "-avg", str(avg), "-choose", "last",
-        "-output_file", os.path.join(dec_root, f"hyp_{method}.txt")], env)
+        "-output_file", os.path.join(dec_root, f"hyp_{method}.txt")], env,
+        kill_after=kill_after, check=False)
     wer, rtf = None, None
+    if r is None:
+        return wer, rtf
     for line in r.stdout.splitlines():
         if "Totol WER is" in line:
             wer = float(line.split()[-1])
@@ -109,6 +129,19 @@ def main():
                          "(default 0.05 offline / 0.15 online)")
     ap.add_argument("--ckpt-interval", type=int, default=25)
     ap.add_argument("--valid-interval", type=int, default=10)
+    ap.add_argument("--proc-wall-secs", type=float, default=0,
+                    help="pass -max_wall_secs to each train invocation "
+                         "and keep relaunching until the segment target "
+                         "is reached (for chip attachments that bound "
+                         "client lifetime); 0 = single invocation")
+    ap.add_argument("--kill-after", type=float, default=0,
+                    help="kill+retry a train/decode process that has not "
+                         "exited after this many seconds (wedge guard); "
+                         "0 = no guard")
+    ap.add_argument("--dev-subset", type=int, default=0,
+                    help="mid-curve decodes use only the first N dev "
+                         "utts (full dev on the final/converged decode); "
+                         "0 = always full")
     ap.add_argument("--online", action="store_true",
                     help="streaming recipe (ChunkEncoder model, "
                          "ctc_att_online beam)")
@@ -230,18 +263,55 @@ def main():
     exp = os.path.join(root, "exp")
     beam_method = "ctc_att_online" if args.online else "ctc_att"
     curve_path = os.path.join(root, "curve.jsonl")
+
+    subset = None
+    if args.dev_subset:
+        sub_dir = os.path.join(data, "dev_sub")
+        os.makedirs(sub_dir, exist_ok=True)
+        subset = (os.path.join(sub_dir, "wav.scp"),
+                  os.path.join(sub_dir, "text"))
+        for src, dst in (("wav.scp", subset[0]), ("text", subset[1])):
+            with open(os.path.join(data, "dev", src)) as f:
+                lines = f.read().splitlines()[: args.dev_subset]
+            with open(dst, "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+    def cur_epoch():
+        """Completed epochs, from the trainer's loop state."""
+        path = os.path.join(exp, "checkpoints", "loop_state.json")
+        if not os.path.exists(path):
+            return 0
+        loop = json.load(open(path))
+        return max((ep for ep, _ in loop.values()), default=0)
+
     epochs = 0
     while epochs < args.max_epochs:
         epochs = min(epochs + args.segment_epochs, args.max_epochs)
         t0 = time.time()
-        run_cli("bin/train.py", [
-            "-config", cfg_path, "-exp_dir", exp,
-            "-num_epochs", str(epochs), "-num_devices", "1",
-            "-ema", "1",
-            "-valid_interval_epochs", str(args.valid_interval),
-            "-checkpoint_interval_epochs", str(args.ckpt_interval),
-            "-log_interval", "50"], env,
-            log_path=os.path.join(root, "train.log"))
+        while cur_epoch() < epochs:
+            before = cur_epoch()
+            train_args = [
+                "-config", cfg_path, "-exp_dir", exp,
+                "-num_epochs", str(epochs), "-num_devices", "1",
+                "-ema", "1",
+                "-valid_interval_epochs", str(args.valid_interval),
+                "-checkpoint_interval_epochs", str(args.ckpt_interval),
+                "-log_interval", "50"]
+            if args.proc_wall_secs:
+                train_args += ["-max_wall_secs", str(args.proc_wall_secs)]
+            run_cli("bin/train.py", train_args, env,
+                    log_path=os.path.join(root, "train.log"),
+                    kill_after=args.kill_after or None,
+                    check=False)
+            after = cur_epoch()
+            print(json.dumps({"stage": "train_proc", "epochs": after,
+                              "gained": after - before,
+                              "elapsed_s": round(time.time() - t0, 1)}),
+                  flush=True)
+            if after <= before:
+                print(json.dumps({"stage": "stalled", "epochs": after}),
+                      flush=True)
+                time.sleep(60)
         train_s = time.time() - t0
         steps = 0
         with open(os.path.join(exp, "metrics.jsonl")) as f:
@@ -249,18 +319,39 @@ def main():
                 row = json.loads(line)
                 steps = max(steps, row.get("step", 0))
         t0 = time.time()
-        wer_g, _ = decode_wer("ctc_greedy", exp, root, env)
-        wer_b, rtf_b = decode_wer(beam_method, exp, root, env)
+        final_seg = epochs >= args.max_epochs
+        sub = None if final_seg else subset
+        wer_g, _ = decode_wer("ctc_greedy", exp, root, env, subset=sub,
+                              kill_after=args.kill_after or None)
+        wer_b, rtf_b = decode_wer(beam_method, exp, root, env, subset=sub,
+                                  kill_after=args.kill_after or None)
         row = {"epochs": epochs, "steps": steps,
                "train_segment_s": round(train_s, 1),
                "decode_s": round(time.time() - t0, 1),
                "wer_greedy": wer_g, "wer_beam": wer_b,
-               "rtf_beam_steady": rtf_b}
+               "rtf_beam_steady": rtf_b,
+               "dev_subset": args.dev_subset if sub else 0}
         with open(curve_path, "a") as f:
             f.write(json.dumps(row) + "\n")
         print(json.dumps(row), flush=True)
         if (wer_g is not None and wer_b is not None
                 and wer_g <= args.target_wer and wer_b <= args.target_wer):
+            if sub:   # confirm on the FULL dev set before declaring
+                wer_g, _ = decode_wer("ctc_greedy", exp, root, env,
+                                      kill_after=args.kill_after or None)
+                wer_b, rtf_b = decode_wer(beam_method, exp, root, env,
+                                          kill_after=args.kill_after
+                                          or None)
+                row = {"epochs": epochs, "steps": steps,
+                       "wer_greedy": wer_g, "wer_beam": wer_b,
+                       "rtf_beam_steady": rtf_b, "dev_subset": 0}
+                with open(curve_path, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+                print(json.dumps(row), flush=True)
+                if not (wer_g is not None and wer_b is not None
+                        and wer_g <= args.target_wer
+                        and wer_b <= args.target_wer):
+                    continue
             print(json.dumps({"stage": "converged", "epochs": epochs,
                               "steps": steps, "target": args.target_wer}),
                   flush=True)
