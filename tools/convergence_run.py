@@ -142,6 +142,13 @@ def main():
                     help="mid-curve decodes use only the first N dev "
                          "utts (full dev on the final/converged decode); "
                          "0 = always full")
+    ap.add_argument("--single-shape", action="store_true",
+                    help="collapse the train loader to ONE padded batch "
+                         "shape (sorted fixed-count batches, max sample/"
+                         "token buckets): ~2x compute per epoch, but each "
+                         "relaunch pays ONE first-execute tax instead of "
+                         "12 — the winning trade on the round-5 tunnel "
+                         "whose per-shape first dispatch costs ~45 s")
     ap.add_argument("--online", action="store_true",
                     help="streaming recipe (ChunkEncoder model, "
                          "ctc_att_online beam)")
@@ -237,6 +244,11 @@ def main():
         kw["wire_dtype"] = "int16"
         if split == "train":
             kw["device_audio_cache"] = True
+            if args.single_shape:
+                kw.pop("batch_duration", None)
+                kw.update(batch_type="size", batch_size=160,
+                          batch_pad_multiple=160, sample_bucket=96000,
+                          token_bucket=16)
     cfg_path = os.path.join(root, "config.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
