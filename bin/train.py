@@ -19,6 +19,16 @@ import yaml
 _PROC_T0 = time.time()
 
 
+def _has_checkpoint(exp_dir: str) -> bool:
+    """True if exp_dir holds at least one saved 'last' checkpoint step."""
+    import os
+    last = os.path.join(exp_dir, "checkpoints", "last")
+    try:
+        return any(name.isdigit() for name in os.listdir(last))
+    except OSError:
+        return False
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-exp_dir", default="exp", type=str)
@@ -160,7 +170,13 @@ def main(argv=None):
                  len(valid_dataset.batch_indices()))
 
     sample = next(iter(train_dataset.batches(num_workers=1)))
-    state = trainer.init_state(sample)
+    # when an auto-resume restore is guaranteed, build the restore target
+    # abstractly — skips executing a throwaway on-device init that the
+    # restore would immediately overwrite (and its first-dispatch cost)
+    will_restore = bool(args.auto_resume) and not args.resume_ckpt and \
+        _has_checkpoint(args.exp_dir)
+    state = (trainer.init_state_abstract(sample) if will_restore
+             else trainer.init_state(sample))
     logging.info("model parameters: %.2fM", trainer.param_count(state) / 1e6)
 
     trainer.save_hparams({

@@ -206,6 +206,29 @@ class Trainer:
             ema=ema_init(params) if self.use_ema else None)
         return jax.device_put(state, replicated(self.mesh))
 
+    def init_state_abstract(self, sample_batch: Dict) -> TrainState:
+        """A ``TrainState`` of ``jax.ShapeDtypeStruct`` leaves — a restore
+        target that costs NO device compute or transfer.
+
+        ``init_state`` executes the full parameter initialization on
+        device only to be immediately overwritten by
+        ``restore_checkpoint``'s restored values; on hosts where device
+        dispatch/transfer is expensive (the round-5 tunneled chip pays a
+        multi-minute first-dispatch tax) that doubles a resume's cold
+        start.  The abstract state lets orbax materialize the restored
+        arrays directly onto the mesh instead.  Simple replicated meshes
+        only — TP/FSDP/pipeline resumes re-establish placement through
+        the concrete path.
+        """
+        if self.partition_params or self.fsdp_params \
+                or self.mesh.shape.get("pipe", 1) > 1:
+            return self.init_state(sample_batch)
+        st = jax.eval_shape(lambda: self.init_state(sample_batch))
+        rep = replicated(self.mesh)
+        return jax.tree.map(
+            lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                              sharding=rep), st)
+
     def param_count(self, state: TrainState) -> int:
         return sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
@@ -340,7 +363,15 @@ class Trainer:
                            step: Optional[int] = None) -> TrainState:
         import orbax.checkpoint as ocp
         self.finalize_checkpoints()  # drain any in-flight async save
-        template = jax.device_get(_state_to_tree(state))
+        abstract = any(isinstance(leaf, jax.ShapeDtypeStruct)
+                       for leaf in jax.tree.leaves(state))
+        if abstract:
+            # init_state_abstract target: orbax creates the device arrays
+            # straight from the checkpoint (sharding rides on the
+            # ShapeDtypeStructs) — no template download/upload round-trip
+            template = _state_to_tree(state)
+        else:
+            template = jax.device_get(_state_to_tree(state))
         if path is not None:
             with ocp.StandardCheckpointer() as ckptr:
                 tree = ckptr.restore(os.path.abspath(path),
