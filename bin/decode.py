@@ -72,7 +72,7 @@ def main(argv=None):
     from lasr_tpu.train.trainer import decode_variables
     variables = decode_variables(params, batch_stats)
     frontend = DeviceFrontend([t for t in test_dataset.audio_trans
-                               if t != "specaug"])
+                               if not t.startswith("specaug")])
 
     method = asr_decode_config.get("decode_method", "ctc_att")
     nbest = int(asr_decode_config.get("nbest", 1))

@@ -44,8 +44,27 @@ class DeviceFrontend:
                 self.fbank_cfg = replace(self.fbank_cfg, num_mel_bins=bins)
                 self.feat_dim = bins
                 self._plan.append(("fbank", None))
-            elif trans == "specaug":
-                self._plan.append(("specaug", None))
+            elif m := re.fullmatch(r"specaug(?::(.+))?", trans):
+                # configurable in the transform string, mirroring the
+                # reference SpecAug's knobs (datatrans.py SpecAug args):
+                # "specaug:W=5,F=27,mF=2,T=40,mT=2" — essential when the
+                # corpus bandwidth makes the speech defaults destructive
+                # (narrowband material under F=27 freq masks loses whole
+                # phones; see tools/convergence_run.py)
+                alias = {"W": "max_time_warp", "F": "max_freq_width",
+                         "mF": "n_freq_mask", "T": "max_time_width",
+                         "mT": "n_time_mask"}
+                kw = {}
+                for part in (m.group(1) or "").split(","):
+                    if not part:
+                        continue
+                    k, _, v = part.partition("=")
+                    if k not in alias:
+                        raise ValueError(
+                            f"unknown specaug knob {k!r} in {trans!r} "
+                            f"(expected {sorted(alias)})")
+                    kw[alias[k]] = int(v)
+                self._plan.append(("specaug", kw or None))
             elif trans in ("avgchannel", "resample:16k", "soxspeed"):
                 # wave-domain host transforms: channel averaging and
                 # resampling happen at read time; speed perturbation is
@@ -67,7 +86,7 @@ class DeviceFrontend:
             # float/32768 convention (reader.py:89) — half the H2D bytes
             wav = wav.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
         feats, feat_len = None, None
-        for kind, _ in self._plan:
+        for kind, arg in self._plan:
             if kind == "norm":
                 wav = peak_normalize(wav)
             elif kind == "fbank":
@@ -75,8 +94,10 @@ class DeviceFrontend:
             elif kind == "specaug" and train:
                 assert feats is not None, "specaug must come after fbank"
                 assert key is not None, "specaug needs a PRNG key in train mode"
-                feats = spec_augment(feats, feat_len, key,
-                                     **self.specaug_kwargs)
+                kw = dict(self.specaug_kwargs)
+                if arg:
+                    kw.update(arg)
+                feats = spec_augment(feats, feat_len, key, **kw)
         return feats, feat_len
 
 

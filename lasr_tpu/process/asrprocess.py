@@ -40,7 +40,7 @@ class ASRProcess:
         cfg = dc.get("decode_config", {})
         trans = dc.get("test_data_config", {}).get("kwargs", {}).get(
             "audio_trans", ["norm", "fbank:80"])
-        self.frontend = DeviceFrontend([t for t in trans if t != "specaug"])
+        self.frontend = DeviceFrontend([t for t in trans if not t.startswith("specaug")])
         from lasr_tpu.decode.lm import build_lm
         lm, lm_weight = build_lm(cfg)
         self.method = cfg.get("decode_method", "ctc_att")

@@ -53,3 +53,30 @@ def test_specaug_no_warp_short_utt():
         max_freq_width=0, n_freq_mask=0, max_time_width=0, n_time_mask=0,
         max_time_warp=5))
     np.testing.assert_allclose(out, np.asarray(x), atol=1e-6)
+
+
+def test_specaug_transform_string_knobs():
+    """The ``specaug:W=..,F=..,mF=..,T=..,mT=..`` transform-string form
+    (frontend.py) — the reference SpecAug's constructor knobs
+    (datatrans.py), needed when the corpus bandwidth makes the speech
+    defaults destructive (narrowband tones lose whole phones to F=27
+    freq masks — the round-5 convergence-run diagnosis)."""
+    from lasr_tpu.data.frontend import DeviceFrontend
+    fe = DeviceFrontend(["norm", "fbank:80", "specaug:F=0,mF=0,T=0,mT=0,W=0"])
+    kind, kw = fe._plan[-1]
+    assert kind == "specaug"
+    assert kw == {"max_freq_width": 0, "n_freq_mask": 0,
+                  "max_time_width": 0, "n_time_mask": 0,
+                  "max_time_warp": 0}
+    # all knobs zeroed -> train-mode frontend equals eval-mode frontend
+    import jax.numpy as jnp
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8000)),
+                    jnp.float32)
+    lens = jnp.asarray([8000])
+    f_train, _ = fe(w, lens, key=jax.random.PRNGKey(0), train=True)
+    f_eval, _ = fe(w, lens)
+    np.testing.assert_allclose(np.asarray(f_train), np.asarray(f_eval),
+                               atol=1e-6)
+    import pytest
+    with pytest.raises(ValueError, match="specaug knob"):
+        DeviceFrontend(["fbank:80", "specaug:bogus=3"])
