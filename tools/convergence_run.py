@@ -306,7 +306,10 @@ def main():
         loop = json.load(open(path))
         return max((ep for ep, _ in loop.values()), default=0)
 
-    epochs = 0
+    # resume the SEGMENT grid from the trained state: a relaunched driver
+    # must not re-decode already-covered segment boundaries
+    epochs = min(cur_epoch() // args.segment_epochs * args.segment_epochs,
+                 args.max_epochs - args.segment_epochs)
     while epochs < args.max_epochs:
         epochs = min(epochs + args.segment_epochs, args.max_epochs)
         t0 = time.time()
