@@ -17,6 +17,9 @@ python bench.py 2>&1 | tee bench_results_r05/bench_final.log
 
 python bench_decode.py 2>&1 | tee bench_results_r05/decode_rtf.log
 
+# univ dual-view model: the one family without a train-step row
+python tools/bench_univ_step.py 2>&1 | tee bench_results_r05/univ_step.log
+
 ONLINE_EXP=/tmp/lasr_converge_online/exp
 if [ -f "$ONLINE_EXP/hparams.yaml" ]; then
     python tools/bench_streaming.py --streams 4 \
